@@ -1,0 +1,233 @@
+"""Generation engine: chunked prefill + jitted decode steps.
+
+The structural counterpart of the reference's Python generation layer
+(cpmcu/llm.py:194-370) on top of jit-compiled step functions instead of a
+C ABI. The CUDA-Graph capture of the decode step (src/entry.cu:540-562)
+becomes XLA compilation caching: each static shape (chunk_length, decode
+width) compiles once and replays.
+
+Token loop stays in Python (like the reference); everything per step runs
+on device, and the only per-step device->host sync is reading the sampled
+token (the analog of the reference's accept-length readback).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import functools
+
+from ..cache.kv import KVCache
+from ..core.config import EngineConfig, ModelConfig
+from ..core.memory import solve_kv_budget
+from ..models import llama
+from ..ops.sampling import sample
+from ..utils.perf import perf_scope
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "k", "temperature", "top_k", "top_p", "attn_impl"),
+    donate_argnames=("cache",),
+)
+def decode_segment(
+    cfg, params, rope, cache, token, pos, key,
+    *, k: int, temperature: float, top_k: int, top_p: float, attn_impl: str,
+):
+    """K greedy/sampled decode steps fused into one device program.
+
+    The TPU equivalent of the reference's CUDA-Graph decode replay
+    (src/entry.cu:540-562) — but stronger: the token loop itself (forward,
+    sample, cache append) runs on device, so host<->device round trips are
+    amortized over ``k`` tokens. Returns (cache, tokens(k,), new_key).
+    """
+
+    def body(carry, _):
+        cache, tok, p, key = carry
+        logits, cache = llama.forward(
+            cfg, params, rope, cache, tok[None], p[None],
+            logits_mode="all", attn_impl=attn_impl,
+        )
+        cache = cache.with_length(cache.length + 1)
+        key, sub = jax.random.split(key)
+        nxt = sample(logits[-1], sub, temperature=temperature, top_k=top_k, top_p=top_p)
+        return (cache, nxt, p + 1, key), nxt
+
+    (cache, _, _, key), toks = jax.lax.scan(
+        body, (cache, token, pos, key), None, length=k
+    )
+    return cache, toks, key
+
+
+class Engine:
+    """Single-sequence engine (batch=1, like the reference)."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        eng: EngineConfig = EngineConfig(),
+        params: Optional[dict] = None,
+        attn_impl: str = "auto",
+    ):
+        self.cfg = cfg
+        self.eng = eng
+        self.attn_impl = attn_impl
+        self.max_total_length = solve_kv_budget(cfg, eng)
+        self.rope = llama.make_rope(cfg, self.max_total_length)
+        self.params = params
+        self.cache = KVCache.create(cfg, self.max_total_length)
+        self.key = jax.random.PRNGKey(eng.random_seed)
+        self._last_prefill_time = 0.0
+
+    # -- steps -------------------------------------------------------------
+
+    def _forward(self, tokens, positions, tree_mask=None, logits_idx=None,
+                 logits_mode="all"):
+        out, self.cache = llama.forward(
+            self.cfg, self.params, self.rope, self.cache,
+            tokens, positions, tree_mask, logits_idx,
+            logits_mode=logits_mode, attn_impl=self.attn_impl,
+        )
+        return out
+
+    def prefill(self, input_ids: Sequence[int], progress_callback=None) -> jax.Array:
+        """Chunked prefill (llm.py:194-233). Returns logits of the last token
+        (1, V)."""
+        ids = np.asarray(input_ids, np.int32).reshape(-1)
+        total = ids.size
+        if total > self.max_total_length:
+            raise ValueError(
+                f"Input token count ({total}) exceeds maximum supported length "
+                f"({self.max_total_length}) under current memory limit"
+            )
+        C = self.eng.chunk_length
+        t0 = time.time()
+        if progress_callback:
+            progress_callback("begin", {"total_tokens": total})
+        logits = None
+        for i in range(0, total, C):
+            n = min(total - i, C)
+            chunk = np.zeros((C,), np.int32)
+            chunk[:n] = ids[i : i + n]
+            pos = np.arange(i, i + C, dtype=np.int32)
+            with perf_scope("prefill_chunk"):
+                logits = self._forward(
+                    jnp.asarray(chunk), jnp.asarray(pos),
+                    logits_idx=jnp.asarray(n - 1, jnp.int32),
+                    logits_mode="index",
+                )
+            self.cache = self.cache.with_length(self.cache.length + n)
+            if progress_callback:
+                progress_callback("advance", {"current_tokens": min(i + C, total)})
+        logits.block_until_ready()
+        self._last_prefill_time = time.time() - t0
+        if progress_callback:
+            progress_callback("finish", {"total_time": self._last_prefill_time})
+        return logits
+
+    def decode(self, token_ids, position_ids, tree_mask=None) -> jax.Array:
+        """One decode pass over len(token_ids) tokens; does NOT commit cache
+        length (the engine/spec layer commits — llm.py:244-254 analog)."""
+        return self._forward(
+            jnp.asarray(token_ids, jnp.int32),
+            jnp.asarray(position_ids, jnp.int32),
+            tree_mask=tree_mask,
+            logits_mode="all",
+        )
+
+    def commit(self, n: int):
+        self.cache = self.cache.with_length(self.cache.length + n)
+
+    def _sample(self, logits) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sample(
+            logits[-1], sub,
+            temperature=self.eng.temperature,
+            top_k=self.eng.top_k,
+            top_p=self.eng.top_p,
+        )
+
+    # -- generation --------------------------------------------------------
+
+    def generate(
+        self,
+        input_ids: Sequence[int],
+        generation_length: int = 100,
+        terminators: Sequence[int] = (),
+        use_stream: bool = False,
+        progress_callback=None,
+    ):
+        if use_stream:
+            return self._generate_stream(
+                input_ids, generation_length, terminators, progress_callback
+            )
+        tokens: List[int] = []
+        stats = {}
+        term = set(int(t) for t in terminators)
+        for item in self._generate_stream(
+            input_ids, generation_length, terminators, progress_callback
+        ):
+            if item["token"] not in term:
+                tokens.append(item["token"])
+            stats = item
+        return tokens, stats.get("decode_time", 0.0), stats.get("prefill_time", 0.0)
+
+    def _generate_stream(self, input_ids, generation_length, terminators, progress_callback):
+        terminators = set(int(t) for t in terminators)
+        logits = self.prefill(input_ids, progress_callback)
+        token = int(self._sample(logits))
+        prefill_time = self._last_prefill_time
+        pos = len(input_ids)
+        decode_start = time.time()
+        emitted = 0
+        seg = max(1, self.eng.decode_segment_size)
+
+        def make_item(tok, finished):
+            return {
+                "token": tok,
+                "is_finished": finished,
+                "prefill_time": prefill_time,
+                "decode_time": time.time() - decode_start,
+                "accept_length": 1,
+            }
+
+        dev_token = jnp.asarray(token, jnp.int32)
+        dev_pos = jnp.asarray(pos, jnp.int32)
+        while True:
+            finished = token in terminators or emitted + 1 >= generation_length
+            yield make_item(token, finished)
+            emitted += 1
+            if finished:
+                return
+            k = min(seg, generation_length - emitted)
+            with perf_scope("decode_segment"):
+                self.cache, toks, self.key = decode_segment(
+                    self.cfg, self.params, self.rope, self.cache,
+                    dev_token, dev_pos, self.key,
+                    k=k,
+                    temperature=self.eng.temperature,
+                    top_k=self.eng.top_k,
+                    top_p=self.eng.top_p,
+                    attn_impl=self.attn_impl,
+                )
+            toks_host = np.asarray(toks)
+            dev_token = toks[-1]
+            dev_pos = dev_pos + k
+            # yield all but the last token of the segment here; the last one
+            # goes through the loop head so the finish logic stays in one place
+            for j, t in enumerate(toks_host[:-1]):
+                t = int(t)
+                finished = t in terminators or emitted + 1 >= generation_length
+                yield make_item(t, finished)
+                emitted += 1
+                if finished:
+                    # roll the cache back to just after the last kept token
+                    kept = pos + emitted
+                    self.cache = self.cache.with_length(kept)
+                    return
+            token = int(toks_host[-1])

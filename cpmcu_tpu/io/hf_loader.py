@@ -1,0 +1,203 @@
+"""HF checkpoint ingestion: safetensors/bin -> stacked param pytree.
+
+Replaces the reference's per-tensor pybind streaming path
+(cpmcu/llm.py:118-192 -> C.load_model -> cudaMemcpy): tensors are read on
+host, name-mapped, stacked along the layer dim, and placed on device in one
+``jax.device_put`` per leaf (optionally with a NamedSharding so multi-chip
+placement happens during load, not after).
+
+Handles the same name mangling the reference does: fused ``gate_up_proj`` /
+``qkv_proj`` splits (llm.py:126-131), tied embeddings (llm.py:136-137), and
+MiniCPM/Llama/Qwen naming.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import ModelConfig
+
+_TORCH_DT = {"F32": np.float32, "F16": np.float16, "BF16": None, "I32": np.int32, "I64": np.int64}
+
+
+def iter_checkpoint_tensors(path: str):
+    """Yield (name, np.ndarray) from a HF checkpoint directory.
+
+    Mirrors the reference's file discovery (llm.py:140-176): prefer
+    ``*.index.json`` weight maps, else a single safetensors/bin/pt file.
+    """
+    index_files = sorted(
+        glob.glob(os.path.join(path, "*.safetensors.index.json"))
+    ) + sorted(glob.glob(os.path.join(path, "*.bin.index.json")))
+    if index_files:
+        with open(index_files[0]) as f:
+            file_list = sorted(set(json.load(f)["weight_map"].values()))
+        file_list = [os.path.join(path, f) for f in file_list]
+    else:
+        for pattern in ("*.safetensors", "*.bin", "*.pt"):
+            file_list = sorted(glob.glob(os.path.join(path, pattern)))
+            if file_list:
+                break
+        else:
+            raise ValueError(f"No supported checkpoint file found in {path}")
+
+    for file in file_list:
+        if file.endswith(".safetensors"):
+            from safetensors import safe_open
+
+            with safe_open(file, framework="np") as f:
+                for name in f.keys():
+                    try:
+                        yield name, f.get_tensor(name)
+                    except (TypeError, ValueError):
+                        # bf16 unsupported by numpy framework path: go via torch
+                        import torch
+                        from safetensors.torch import load_file
+
+                        t = load_file(file)[name]
+                        yield name, _torch_to_np(t)
+        else:
+            import torch
+
+            ckpt = torch.load(file, map_location="cpu", weights_only=True)
+            for name, t in ckpt.items():
+                yield name, _torch_to_np(t)
+
+
+def _torch_to_np(t) -> np.ndarray:
+    import torch
+
+    if t.dtype == torch.bfloat16:
+        # keep bf16 bits; ml_dtypes view on the uint16 payload
+        import ml_dtypes
+
+        return t.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+    return t.numpy()
+
+
+# ---------------------------------------------------------------------------
+# name mapping
+# ---------------------------------------------------------------------------
+
+_LAYER_RE = re.compile(r"model\.layers\.(\d+)\.(.+)")
+
+_SUB_MAP = {
+    "input_layernorm.weight": ("attn_norm", None),
+    "self_attn.q_proj.weight": ("wq", "w"),
+    "self_attn.k_proj.weight": ("wk", "w"),
+    "self_attn.v_proj.weight": ("wv", "w"),
+    "self_attn.o_proj.weight": ("wo", "w"),
+    "self_attn.q_proj.bias": ("wq", "b"),
+    "self_attn.k_proj.bias": ("wk", "b"),
+    "self_attn.v_proj.bias": ("wv", "b"),
+    "self_attn.q_norm.weight": ("q_norm", None),
+    "self_attn.k_norm.weight": ("k_norm", None),
+    "post_attention_layernorm.weight": ("ffn_norm", None),
+    "mlp.gate_proj.weight": ("w_gate", "w"),
+    "mlp.up_proj.weight": ("w_up", "w"),
+    "mlp.down_proj.weight": ("w_down", "w"),
+}
+
+
+def _split_fused(name: str, arr: np.ndarray, cfg: ModelConfig):
+    """Split fused qkv_proj / gate_up_proj rows (llm.py:126-131)."""
+    if "gate_up_proj" in name:
+        half = arr.shape[0] // 2
+        yield name.replace("gate_up_proj", "gate_proj"), arr[:half]
+        yield name.replace("gate_up_proj", "up_proj"), arr[half:]
+    elif "qkv_proj" in name:
+        q = cfg.num_heads * cfg.head_dim
+        kv = cfg.num_kv_heads * cfg.head_dim
+        yield name.replace("qkv_proj", "q_proj"), arr[:q]
+        yield name.replace("qkv_proj", "k_proj"), arr[q : q + kv]
+        yield name.replace("qkv_proj", "v_proj"), arr[q + kv :]
+    else:
+        yield name, arr
+
+
+def load_params(
+    path_or_tensors,
+    cfg: ModelConfig,
+    shardings: Optional[dict] = None,
+    device_put: Callable = jax.device_put,
+) -> dict:
+    """Assemble the stacked param pytree (models/llama.py docstring layout).
+
+    ``path_or_tensors``: checkpoint dir, or an iterable of (name, ndarray)
+    (used by tests to feed a transformers state_dict directly).
+    """
+    tensors = (
+        iter_checkpoint_tensors(path_or_tensors)
+        if isinstance(path_or_tensors, str)
+        else path_or_tensors
+    )
+
+    L = cfg.num_layers
+    dt = cfg.jnp_dtype
+    staging: Dict[str, list] = {}
+
+    def put_layer(sub: str, leaf: Optional[str], layer: int, arr: np.ndarray):
+        key = f"{sub}.{leaf}" if leaf else sub
+        staging.setdefault(key, [None] * L)[layer] = arr
+
+    top: Dict[str, np.ndarray] = {}
+
+    for raw_name, raw_arr in tensors:
+        for name, arr in _split_fused(raw_name, raw_arr, cfg):
+            if name == "model.embed_tokens.weight":
+                top["embed"] = arr
+                if cfg.tie_word_embeddings:
+                    top["lm_head"] = arr.T
+            elif name == "lm_head.weight":
+                top["lm_head"] = arr.T
+            elif name == "model.norm.weight":
+                top["final_norm"] = arr
+            else:
+                m = _LAYER_RE.match(name)
+                if not m:
+                    continue  # rotary_emb.inv_freq etc. are recomputed natively
+                layer, sub_name = int(m.group(1)), m.group(2)
+                if sub_name not in _SUB_MAP:
+                    continue
+                sub, leaf = _SUB_MAP[sub_name]
+                if leaf == "w":
+                    arr = arr.T  # torch stores (out, in); we use (in, out)
+                put_layer(sub, leaf, layer, arr)
+
+    def stack(key):
+        parts = staging[key]
+        missing = [i for i, p in enumerate(parts) if p is None]
+        if missing:
+            raise ValueError(f"checkpoint missing layers {missing} for {key}")
+        return np.stack(parts)
+
+    def dev(arr, name=None):
+        x = jnp.asarray(np.asarray(arr), dt)
+        if shardings and name in shardings:
+            return device_put(x, shardings[name])
+        return device_put(x)
+
+    layers: Dict[str, object] = {}
+    for key in staging:
+        sub, _, leaf = key.partition(".")
+        stacked = stack(key)
+        if leaf:
+            layers.setdefault(sub, {})[leaf] = dev(stacked, key)
+        else:
+            layers[sub] = dev(stacked, key)
+
+    params = {
+        "embed": dev(top["embed"], "embed"),
+        "layers": layers,
+        "final_norm": dev(top["final_norm"], "final_norm"),
+        "lm_head": {"w": dev(top["lm_head"], "lm_head.w")},
+    }
+    return params

@@ -1,0 +1,55 @@
+"""Attention block: qkv projections, qk-norm, RoPE, cache write, MHA, o-proj.
+
+Reference parity: ``Attention<T>::prefill/decode`` (src/model/attn.cuh:58-280)
+— fused qkv GEMM, optional per-head q/k RMSNorm (Qwen3) and qkv bias (Qwen2),
+non-interleaved RoPE, scatter into the KV cache at ``cache_length``, flash
+attention over the cache, output projection.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..cache.kv import append_layer
+from ..core.config import ModelConfig
+from ..ops.attention import mha
+from .modules import linear, rms_norm
+from .rotary import apply_rope
+
+
+def attention_block(
+    cfg: ModelConfig,
+    p: dict,  # this layer's params
+    x: jnp.ndarray,  # (T, H) already normed
+    positions: jnp.ndarray,  # (T,) int32 absolute positions (rope)
+    k_cache: jnp.ndarray,  # (S, KVH, D) this layer
+    v_cache: jnp.ndarray,
+    cache_len: jnp.ndarray,  # scalar: history length; new kv written here
+    rope_cos: jnp.ndarray,
+    rope_sin: jnp.ndarray,
+    tree_mask: Optional[jnp.ndarray] = None,
+    window: int = 0,
+    sink: int = 0,
+    attn_impl: str = "auto",
+):
+    T = x.shape[0]
+    q = linear(p["wq"], x).reshape(T, cfg.num_heads, cfg.head_dim)
+    k = linear(p["wk"], x).reshape(T, cfg.num_kv_heads, cfg.head_dim)
+    v = linear(p["wv"], x).reshape(T, cfg.num_kv_heads, cfg.head_dim)
+
+    if cfg.use_qk_norm:
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
+
+    q, k = apply_rope(q, k, rope_cos, rope_sin, positions)
+
+    k_cache, v_cache = append_layer(k_cache, v_cache, k, v, cache_len)
+
+    out = mha(
+        q, k_cache, v_cache, cache_len,
+        tree_mask=tree_mask, window=window, sink=sink, impl=attn_impl,
+    )
+    out = linear(p["wo"], out.reshape(T, cfg.num_heads * cfg.head_dim))
+    return out, k_cache, v_cache

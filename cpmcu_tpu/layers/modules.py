@@ -1,0 +1,73 @@
+"""Functional building blocks: norm, linear (dense & quantized), FFN.
+
+Each block is a pure function over a param sub-pytree. Reference parity:
+  * RMSNorm / fused add+RMSNorm      — src/model/norm.cuh:7-154
+  * Linear (fp32 accumulate)         — src/model/linear.cuh:8-105
+  * LM head with pre-scale           — src/model/linear.cuh:95-105, llm.py:67
+  * Gated SiLU FFN                   — src/model/ffn.cuh:18-89, activation.cuh
+  * Embedding with scale_emb         — src/model/embedding.cuh:6-53
+
+On TPU the fusions the reference hand-writes (add+norm, gated-silu epilogue)
+are expressed as plain jnp and fused by XLA; matmuls run on the MXU in the
+model dtype with fp32 accumulation via ``preferred_element_type``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rms_norm(x, weight, eps: float):
+    """RMSNorm in fp32 (the reference kernel accumulates float, norm.cuh:20-40)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps)
+    return (out * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def add_rms_norm(x, residual, weight, eps: float):
+    """Fused residual-add + RMSNorm; returns (normed, new_residual).
+
+    Mirrors ``add_and_rms_norm_kernel`` (norm.cuh:60-100) which writes the
+    sum back into ``input`` and returns the normalized value.
+    """
+    s = (x.astype(jnp.float32) + residual.astype(jnp.float32)).astype(x.dtype)
+    return rms_norm(s, weight, eps), s
+
+
+def linear(p: dict, x):
+    """Dense or W4A16 linear. ``p`` is {'w': (in,out)[, 'b': (out,)]} or a
+    quantized pack {'q','s'} handled by ops.quant."""
+    if "q" in p:
+        from ..ops.quant import quant_matmul
+
+        y = quant_matmul(x, p["q"], p["s"])
+    else:
+        y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32).astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def embedding(embed_table, token_ids, scale_emb: float, dtype):
+    h = jnp.take(embed_table, token_ids, axis=0).astype(dtype)
+    if scale_emb != 1.0:
+        h = h * jnp.asarray(scale_emb, dtype)
+    return h
+
+
+def lm_head(p: dict, x, scale_lmhead: float):
+    """Final projection; MiniCPM pre-scales hidden by dim_model_base/hidden
+    (llm.py:67, linear.cuh LMHead head_scale)."""
+    if scale_lmhead != 1.0:
+        x = x * jnp.asarray(scale_lmhead, x.dtype)
+    return linear(p, x)
+
+
+def gated_ffn(p: dict, x):
+    """norm -> gate/up -> SiLU(gate)*up -> down (ffn.cuh:77-84)."""
+    gate = linear(p["w_gate"], x)
+    up = linear(p["w_up"], x)
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    return linear(p["w_down"], act)

@@ -1,0 +1,191 @@
+"""Llama-family decoder (covers MiniCPM4 / Llama / Qwen2 / Qwen3 knobs).
+
+The model is a pure function over a param pytree with layer weights stacked
+on a leading L dim, executed with ``lax.scan`` so XLA traces one layer once
+(fast compiles, constant code size in depth — the TPU-idiomatic counterpart
+of the reference's per-layer C++ loop, src/model/model.cuh:150-159).
+
+Param pytree::
+
+    {
+      "embed":      (V, H),
+      "layers": {                      # every leaf stacked (L, ...)
+        "attn_norm": (L, H),
+        "wq": {"w": (L, H, Hq)[, "b"]}, "wk"/"wv": (L, H, Hkv)[, "b"],
+        "wo": {"w": (L, Hq, H)},
+        ["q_norm": (L, D), "k_norm": (L, D)]          # Qwen3
+        "ffn_norm": (L, H),
+        "w_gate"/"w_up": {"w": (L, H, I)}, "w_down": {"w": (L, I, H)},
+      },
+      "final_norm": (H,),
+      "lm_head":    {"w": (H, V)},
+    }
+
+Quantized linears swap {"w"} for {"q","s"} packs (ops.quant).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..cache.kv import KVCache
+from ..core.config import ModelConfig
+from ..layers.attention import attention_block
+from ..layers.modules import embedding, gated_ffn, lm_head, rms_norm
+from ..layers.rotary import rope_tables
+
+
+def init_params(cfg: ModelConfig, key: jax.Array, scale: float = 0.02) -> dict:
+    """Random params (tests/synthetic benchmarks)."""
+    L, H, I, V = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    Hq, Hkv, D = cfg.q_size, cfg.kv_size, cfg.head_dim
+    dt = cfg.jnp_dtype
+    ks = iter(jax.random.split(key, 16))
+
+    def w(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
+
+    layers = {
+        "attn_norm": jnp.ones((L, H), dt),
+        "ffn_norm": jnp.ones((L, H), dt),
+        "wq": {"w": w(next(ks), (L, H, Hq))},
+        "wk": {"w": w(next(ks), (L, H, Hkv))},
+        "wv": {"w": w(next(ks), (L, H, Hkv))},
+        "wo": {"w": w(next(ks), (L, Hq, H))},
+        "w_gate": {"w": w(next(ks), (L, H, I))},
+        "w_up": {"w": w(next(ks), (L, H, I))},
+        "w_down": {"w": w(next(ks), (L, I, H))},
+    }
+    if cfg.use_attn_bias:
+        for n in ("wq", "wk", "wv"):
+            dim = Hq if n == "wq" else Hkv
+            layers[n]["b"] = w(next(ks), (L, dim))
+    if cfg.use_qk_norm:
+        layers["q_norm"] = jnp.ones((L, D), dt)
+        layers["k_norm"] = jnp.ones((L, D), dt)
+
+    embed = w(next(ks), (V, H))
+    return {
+        "embed": embed,
+        "layers": layers,
+        "final_norm": jnp.ones((H,), dt),
+        "lm_head": {"w": embed.T if cfg.tie_word_embeddings else w(next(ks), (H, V))},
+    }
+
+
+def make_rope(cfg: ModelConfig, max_len: int):
+    return rope_tables(cfg.rope, cfg.head_dim, max_len, seq_len=max_len)
+
+
+def forward_batch(cfg: ModelConfig, params: dict, tokens: jax.Array) -> jax.Array:
+    """Cache-free batched causal forward: (B, T) -> fp32 logits (B, T, V).
+
+    Used for perplexity eval and the training step (the inference engine uses
+    ``forward`` below). Same layer math as ``forward``; attention is plain
+    causal over the batch.
+    """
+    from ..layers.modules import linear
+    from ..layers.rotary import apply_rope
+
+    B, T = tokens.shape
+    rope_cos, rope_sin = rope_tables(cfg.rope, cfg.head_dim, T)
+    positions = jnp.arange(T, dtype=jnp.int32)
+    h = embedding(params["embed"], tokens, cfg.scale_emb, cfg.jnp_dtype)
+    KVH, G, D = cfg.num_kv_heads, cfg.num_heads // cfg.num_kv_heads, cfg.head_dim
+    causal = jnp.tril(jnp.ones((T, T), jnp.bool_))
+
+    def attn_one(p, x):  # x: (T, H) one batch element
+        q = linear(p["wq"], x).reshape(T, cfg.num_heads, D)
+        k = linear(p["wk"], x).reshape(T, KVH, D)
+        v = linear(p["wv"], x).reshape(T, KVH, D)
+        if cfg.use_qk_norm:
+            q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
+        q, k = apply_rope(q, k, rope_cos, rope_sin, positions)
+        qf = q.reshape(T, KVH, G, D).astype(jnp.float32)
+        scores = jnp.einsum("tkgd,skd->kgts", qf, k.astype(jnp.float32))
+        scores = scores / jnp.sqrt(jnp.float32(D))
+        scores = jnp.where(causal[None, None], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("kgts,skd->tkgd", probs, v.astype(jnp.float32))
+        return out.reshape(T, cfg.num_heads * D).astype(x.dtype)
+
+    def body(hidden, p):
+        normed = rms_norm(hidden, p["attn_norm"], cfg.rms_norm_eps)
+        attn_out = jax.vmap(lambda x: attn_one(p, x))(normed)
+        attn_out = jax.vmap(lambda a: linear(p["wo"], a))(attn_out)
+        hidden = hidden + attn_out * jnp.asarray(cfg.scale_residual, hidden.dtype)
+        normed = rms_norm(hidden, p["ffn_norm"], cfg.rms_norm_eps)
+        ffn_out = gated_ffn(p, normed)
+        hidden = hidden + ffn_out * jnp.asarray(cfg.scale_residual, hidden.dtype)
+        return hidden, None
+
+    h, _ = jax.lax.scan(body, h, params["layers"])
+    normed = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    logits = lm_head(params["lm_head"], normed, cfg.scale_lmhead)
+    return logits.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "logits_mode", "window", "sink", "attn_impl"),
+    donate_argnames=("cache",),
+)
+def forward(
+    cfg: ModelConfig,
+    params: dict,
+    rope: Tuple[jax.Array, jax.Array],
+    cache: KVCache,
+    token_ids: jax.Array,  # (T,) int32
+    positions: jax.Array,  # (T,) int32
+    tree_mask: Optional[jax.Array] = None,  # (T, T) bool
+    logits_idx: Optional[jax.Array] = None,  # scalar: only used for "index"
+    *,
+    logits_mode: str = "all",  # all | index | none
+    window: int = 0,
+    sink: int = 0,
+    attn_impl: str = "auto",
+):
+    """One forward pass of T tokens against the cache.
+
+    New K/V rows are written at ``cache.length``; the returned cache has the
+    same ``length`` (commit is the engine's job — mirrors the reference's
+    temporary ``cache_length += n`` trick, llm.py:244-254).
+
+    Returns (logits | hidden, new_cache, hidden_last).
+    """
+    rope_cos, rope_sin = rope
+    h = embedding(params["embed"], token_ids, cfg.scale_emb, cfg.jnp_dtype)
+
+    def body(carry, xs):
+        hidden = carry
+        p, k_c, v_c = xs
+        normed = rms_norm(hidden, p["attn_norm"], cfg.rms_norm_eps)
+        attn_out, k_c, v_c = attention_block(
+            cfg, p, normed, positions, k_c, v_c, cache.length,
+            rope_cos, rope_sin, tree_mask, window, sink, attn_impl,
+        )
+        hidden = hidden + attn_out * jnp.asarray(cfg.scale_residual, hidden.dtype)
+        normed = rms_norm(hidden, p["ffn_norm"], cfg.rms_norm_eps)
+        ffn_out = gated_ffn(p, normed)
+        hidden = hidden + ffn_out * jnp.asarray(cfg.scale_residual, hidden.dtype)
+        return hidden, (k_c, v_c)
+
+    h, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"], cache.k, cache.v))
+    new_cache = KVCache(new_k, new_v, cache.length)
+
+    if logits_mode == "none":
+        return h, new_cache
+
+    if logits_mode == "index":
+        idx = jnp.asarray(0 if logits_idx is None else logits_idx, jnp.int32)
+        h_sel = jax.lax.dynamic_slice_in_dim(h, idx, 1, axis=0)
+    else:
+        h_sel = h
+    normed = rms_norm(h_sel, params["final_norm"], cfg.rms_norm_eps)
+    logits = lm_head(params["lm_head"], normed, cfg.scale_lmhead)
+    return logits.astype(jnp.float32), new_cache
