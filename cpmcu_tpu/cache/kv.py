@@ -25,18 +25,18 @@ from ..core.config import ModelConfig
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    k: jax.Array  # (L, S, KVH, D)
-    v: jax.Array  # (L, S, KVH, D)
+    k: jax.Array  # (L, KVH, S, D) — per-head streams contiguous for kernel DMA
+    v: jax.Array  # (L, KVH, S, D)
     length: jax.Array  # int32 scalar: tokens currently committed
 
     @property
     def max_length(self) -> int:
-        return self.k.shape[1]
+        return self.k.shape[2]
 
     @staticmethod
     def create(cfg: ModelConfig, budget: int, num_layers: Optional[int] = None) -> "KVCache":
         L = num_layers if num_layers is not None else cfg.num_layers
-        shape = (L, budget, cfg.num_kv_heads, cfg.head_dim)
+        shape = (L, cfg.num_kv_heads, budget, cfg.head_dim)
         return KVCache(
             k=jnp.zeros(shape, cfg.jnp_dtype),
             v=jnp.zeros(shape, cfg.jnp_dtype),
@@ -48,15 +48,18 @@ class KVCache:
 
 
 def append_layer(k_cache, v_cache, new_k, new_v, start):
-    """Write T new rows into one layer's (S, KVH, D) cache at ``start``.
+    """Write T new rows into one layer's (KVH, S, D) cache at ``start``.
 
+    ``new_k``/``new_v`` come in projection layout (T, KVH, D).
     The reference writes k/v directly into the cache inside the qkv GEMM
     during prefill (attn.cuh:180-187) and via ``copy_to_kvcache`` in decode
     (attn.cuh:236-246); under XLA both are this dynamic-update-slice.
     """
     start = jnp.asarray(start, jnp.int32)
-    k_cache = jax.lax.dynamic_update_slice(k_cache, new_k, (start, 0, 0))
-    v_cache = jax.lax.dynamic_update_slice(v_cache, new_v, (start, 0, 0))
+    new_k = jnp.swapaxes(new_k, 0, 1)  # (KVH, T, D)
+    new_v = jnp.swapaxes(new_v, 0, 1)
+    k_cache = jax.lax.dynamic_update_slice(k_cache, new_k, (0, start, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, new_v, (0, start, 0))
     return k_cache, v_cache
 
 
@@ -78,9 +81,9 @@ def compact(cache: KVCache, accept_pos, accept_len, base_len) -> KVCache:
     # Rows where i >= accept_len: make the move a no-op (src = dst).
     src = jnp.where(idx < accept_len, src, dst)
 
-    def fix(arr):  # (L, S, KVH, D)
-        rows = arr[:, src]  # gather first (functional two-phase move)
-        return arr.at[:, dst].set(rows)
+    def fix(arr):  # (L, KVH, S, D)
+        rows = arr[:, :, src]  # gather first (functional two-phase move)
+        return arr.at[:, :, dst].set(rows)
 
     return KVCache(
         k=fix(cache.k),

@@ -64,8 +64,8 @@ def _visibility_mask(
 )
 def mha_xla(
     q: jax.Array,  # (T, H, D)
-    k_cache: jax.Array,  # (S, KVH, D)
-    v_cache: jax.Array,  # (S, KVH, D)
+    k_cache: jax.Array,  # (KVH, S, D)
+    v_cache: jax.Array,  # (KVH, S, D)
     prior_len: jax.Array,  # scalar int32: history length (new rows already at [prior, prior+T))
     tree_mask: Optional[jax.Array] = None,  # (T, T) bool
     block_mask: Optional[jax.Array] = None,  # (num_kv_blocks,) or (T, num_kv_blocks) bool
@@ -76,14 +76,14 @@ def mha_xla(
     return_lse: bool = False,
 ):
     T, H, D = q.shape
-    S, KVH, _ = k_cache.shape
+    KVH, S, _ = k_cache.shape
     G = H // KVH
     if scale is None:
         scale = 1.0 / math.sqrt(D)
 
     qf = q.reshape(T, KVH, G, D).astype(jnp.float32)
     kf = k_cache.astype(jnp.float32)
-    scores = jnp.einsum("tkgd,skd->kgts", qf, kf) * scale  # (KVH,G,T,S)
+    scores = jnp.einsum("tkgd,ksd->kgts", qf, kf) * scale  # (KVH,G,T,S)
 
     vis = _visibility_mask(T, S, prior_len, tree_mask, window, sink)
     if block_mask is not None:
@@ -101,7 +101,7 @@ def mha_xla(
     e = jnp.exp(scores - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     probs = e / denom
-    out = jnp.einsum("kgts,skd->tkgd", probs, v_cache.astype(jnp.float32))
+    out = jnp.einsum("kgts,ksd->tkgd", probs, v_cache.astype(jnp.float32))
     out = out.reshape(T, H, D).astype(q.dtype)
     if return_lse:
         lse = (m + jnp.log(denom)).squeeze(-1)  # (KVH, G, T)

@@ -1,0 +1,380 @@
+"""Pallas TPU flash attention over the static KV cache.
+
+TPU-native re-design of the reference's modified FlashAttention-2 fork
+(src/flash_attn/flash_api.hpp:294-394 and SURVEY.md §2.3). One kernel family
+covers:
+
+  * chunked **prefill** (T up to chunk_length queries, causal over
+    ``prior + T`` cache rows),
+  * **decode** (T in {1..64} queries),
+  * **sliding window** + **sink** tokens (``block_window_size`` /
+    ``sink_window_size`` analogs),
+  * dynamic cache length: the kv-block grid is sized for the static cache
+    budget, and blocks beyond ``ceil(limit/BK)`` are elided — their
+    BlockSpec index_map clamps to the previous block (Pallas skips the DMA
+    when the mapped block doesn't change) and ``pl.when`` skips the compute.
+    This replaces the CUDA fork's ``seqlens_k`` handling; no recompilation
+    when the context grows (the CUDA version re-captures its graph every 128
+    tokens, entry.cu:540-562).
+  * optional **LSE output** so a ≤64-token tree/new block computed in XLA
+    can be merged outside the kernel (softmax-merge, the split-kv combine
+    trick) — how tree speculation attends without putting gather-heavy mask
+    logic in the hot loop.
+  * **block-sparse** KV iteration from a top-k block bitmap (InfLLM-v2,
+    flash_blockmask.h analog): see ``ops.sparse_flash`` (M4).
+
+GQA layout: the G query heads of each KV head are folded into the row axis
+(rows = G*T), so each KV block is streamed from HBM exactly once per query
+tile — the same bandwidth-saving motivation as the reference's
+"fold 16 q-heads into the head dim" trick (flash_api.hpp:326-328), done the
+TPU way.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+# Default tiles. BK = KV rows per block; BQT = query tokens per tile.
+DEFAULT_BK = 512
+DEFAULT_BQT = 256
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def is_supported(q, k_cache) -> bool:
+    """Static (trace-time) dispatch predicate for impl="auto"."""
+    T, H, D = q.shape
+    KVH = k_cache.shape[0]
+    return (
+        D <= 256
+        and H % KVH == 0
+        and jax.default_backend() == "tpu"  # interpret mode is for tests only
+    )
+
+
+def _flash_kernel(
+    # scalar prefetch
+    limit_ref,  # (1,) int32: number of valid cache rows overall
+    prior_ref,  # (1,) int32: history length (queries start here)
+    # inputs
+    q_ref,  # (1, ROWS, D)
+    k_ref,  # (1, BK, D)
+    v_ref,  # (1, BK, D)
+    # outputs
+    o_ref,  # (1, ROWS, D)
+    lse_ref,  # (1, ROWS, 128) broadcast lse (lane-padded)
+    # scratch
+    m_scr,  # (ROWS, 128) f32
+    l_scr,  # (ROWS, 128) f32
+    acc_scr,  # (ROWS, D) f32
+    *,
+    scale: float,
+    bk: int,
+    bqt: int,
+    g: int,
+    causal: bool,
+    window: int,
+    sink: int,
+    emit_lse: bool,
+):
+    qi = pl.program_id(1)
+    b = pl.program_id(2)
+    nb_total = pl.num_programs(2)
+
+    rows = q_ref.shape[1]
+    limit = limit_ref[0]
+    prior = prior_ref[0]
+
+    @pl.when(b == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # absolute query token index for each row: rows are (g, t) ordered,
+    # t = row % bqt within this q tile
+    row_t = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 0) % bqt
+    q_pos = prior + qi * bqt + row_t  # (rows, bk)
+    key_j = b * bk + jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 1)
+
+    # which kv blocks can this q tile see at all?
+    if causal:
+        hi = jnp.minimum(limit, prior + (qi + 1) * bqt)  # exclusive
+    else:
+        hi = limit
+    nb = jnp.maximum(pl.cdiv(hi, bk), 0)
+
+    @pl.when(b < nb)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (rows, bk)
+
+        mask = key_j < hi
+        if causal:
+            mask &= key_j <= q_pos
+        if window > 0:
+            in_window = key_j > q_pos - window
+            if sink > 0:
+                in_window |= key_j < sink
+            mask &= in_window
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]  # (rows, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)  # (rows, bk)
+        l_cur = jnp.sum(p, axis=1, keepdims=True)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_scr[:, :1] * alpha + l_cur
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(b == nb_total - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        if emit_lse:
+            lse = jnp.where(l == 0.0, NEG_INF, m_scr[:, :1] + jnp.log(l_safe))
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "window", "sink", "scale", "bk", "bqt", "return_lse", "interpret"
+    ),
+)
+def flash_mha(
+    q: jax.Array,  # (T, H, D)
+    k_cache: jax.Array,  # (KVH, S, D)
+    v_cache: jax.Array,  # (KVH, S, D)
+    prior_len: jax.Array,  # scalar int32
+    *,
+    causal: bool = True,
+    window: int = 0,
+    sink: int = 0,
+    scale: Optional[float] = None,
+    bk: int = DEFAULT_BK,
+    bqt: int = DEFAULT_BQT,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Flash attention of T new queries over the cache.
+
+    With ``causal=True`` attends over rows [0, prior+T) with causality inside
+    the new block (prefill / vanilla decode; new K/V already scattered in).
+    With ``causal=False`` attends over history rows [0, prior) only — the
+    tree/new block is merged outside via the returned LSE (``merge_attn``).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    T, H, D = q.shape
+    KVH, S, _ = k_cache.shape
+    G = H // KVH
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+
+    # cap the row tile (G*bqt) so q/acc/m/l scratch fits comfortably in VMEM
+    rows_cap = 1024
+    bqt = min(bqt, _round_up(T, 8), max(8, rows_cap // G))
+    bk = min(bk, S)
+    nq = pl.cdiv(T, bqt)
+    nb_max = pl.cdiv(S, bk)
+    rows = G * bqt
+
+    # (T, H, D) -> (KVH, G*nq*bqt, D) grouped rows, padded T to nq*bqt
+    Tp = nq * bqt
+    if Tp != T:
+        q = jnp.pad(q, ((0, Tp - T), (0, 0), (0, 0)))
+    qg = (
+        q.reshape(Tp, KVH, G, D)
+        .transpose(1, 2, 0, 3)  # (KVH, G, Tp, D)
+        .reshape(KVH, G, nq, bqt, D)
+        .swapaxes(1, 2)  # (KVH, nq, G, bqt, D)
+        .reshape(KVH, nq * G * bqt, D)
+    )
+
+    prior = jnp.asarray(prior_len, jnp.int32).reshape(1)
+    limit = prior + (T if causal else 0)
+
+    grid = (KVH, nq, nb_max)
+
+    def q_index(h, qi, b, limit_ref, prior_ref):
+        return (h, qi, 0)
+
+    def kv_index(h, qi, b, limit_ref, prior_ref):
+        if causal:
+            hi = jnp.minimum(limit_ref[0], prior_ref[0] + (qi + 1) * bqt)
+        else:
+            hi = limit_ref[0]
+        nb = jnp.maximum(pl.cdiv(hi, bk), 1)
+        return (h, jnp.minimum(b, nb - 1), 0)
+
+    kernel = functools.partial(
+        _flash_kernel,
+        scale=scale, bk=bk, bqt=bqt, g=G,
+        causal=causal, window=window, sink=sink, emit_lse=return_lse,
+    )
+
+    if return_lse:
+        lse_spec = pl.BlockSpec((1, rows, 128), q_index)
+        lse_shape = jax.ShapeDtypeStruct((KVH, nq * rows, 128), jnp.float32)
+    else:
+        # dummy 1-tile output; kernel never writes it
+        lse_spec = pl.BlockSpec((1, 8, 128), lambda h, qi, b, *_: (0, 0, 0))
+        lse_shape = jax.ShapeDtypeStruct((1, 8, 128), jnp.float32)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, rows, D), q_index),
+                pl.BlockSpec((1, bk, D), kv_index),
+                pl.BlockSpec((1, bk, D), kv_index),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, rows, D), q_index),
+                lse_spec,
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((rows, 128), jnp.float32),
+                pltpu.VMEM((rows, 128), jnp.float32),
+                pltpu.VMEM((rows, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((KVH, nq * rows, D), q.dtype),
+            lse_shape,
+        ],
+        interpret=interpret,
+    )(limit, prior, qg, k_cache, v_cache)
+
+    # (KVH, nq*G*bqt, D) -> (T, H, D)
+    out = (
+        out.reshape(KVH, nq, G, bqt, D)
+        .swapaxes(1, 2)  # (KVH, G, nq, bqt, D)
+        .reshape(KVH, G, Tp, D)
+        .transpose(2, 0, 1, 3)
+        .reshape(Tp, H, D)[:T]
+    )
+    if not return_lse:
+        return out
+    lse = (
+        lse[..., 0]
+        .reshape(KVH, nq, G, bqt)
+        .swapaxes(1, 2)
+        .reshape(KVH, G, Tp)
+        .transpose(2, 0, 1)
+        .reshape(Tp, H)[:T]
+    )
+    return out, lse
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def merge_attn(out_a, lse_a, out_b, lse_b):
+    """Softmax-merge two partial attention results over disjoint key sets.
+
+    The split-kv combine (reference flash_api.hpp:385-391 num_splits path):
+    out = (exp(lse_a-m)*... ) with m = max(lse_a, lse_b), all fp32.
+    Shapes: out (T, H, D), lse (T, H).
+    """
+    m = jnp.maximum(lse_a, lse_b)
+    wa = jnp.exp(lse_a - m)[..., None]
+    wb = jnp.exp(lse_b - m)[..., None]
+    den = wa + wb
+    out = (out_a.astype(jnp.float32) * wa + out_b.astype(jnp.float32) * wb) / den
+    return out.astype(out_a.dtype)
+
+
+def mha_flash(
+    q, k_cache, v_cache, prior_len,
+    tree_mask=None, block_mask=None, *, window: int = 0, sink: int = 0,
+):
+    """Full dispatch entry matching ops.attention.mha semantics.
+
+    * No tree mask: single causal kernel pass over [0, prior+T).
+    * Tree mask: kernel pass over history [0, prior) + XLA attention over the
+      T(≤64) new tokens with the tree mask, merged by LSE. This keeps the
+      tree structure out of the bandwidth-bound kernel loop (the reference
+      instead threads uint64 mask rows through its CUDA kernel,
+      flash_fwd_kernel.h:921).
+    """
+    if block_mask is not None:
+        from .attention import mha_xla  # sparse kernel lands with M4
+
+        return mha_xla(
+            q, k_cache, v_cache, prior_len, tree_mask, block_mask,
+            window=window, sink=sink,
+        )
+
+    T, H, D = q.shape
+    if tree_mask is None:
+        return flash_mha(
+            q, k_cache, v_cache, prior_len,
+            causal=True, window=window, sink=sink,
+        )
+
+    # history part (kernel) + tree part (XLA) merged
+    out_h, lse_h = flash_mha(
+        q, k_cache, v_cache, prior_len,
+        causal=False, window=window, sink=sink, return_lse=True,
+    )
+    out_t, lse_t = _tree_block_attn(
+        q, k_cache, v_cache, prior_len, tree_mask, window=window, sink=sink
+    )
+    return merge_attn(out_h, lse_h, out_t, lse_t)
+
+
+def _tree_block_attn(q, k_cache, v_cache, prior_len, tree_mask, *, window, sink):
+    """Attention of the T new queries against only the T new keys at
+    [prior, prior+T), masked by the draft tree's ancestor masks."""
+    T, H, D = q.shape
+    KVH = k_cache.shape[0]
+    G = H // KVH
+    prior = jnp.asarray(prior_len, jnp.int32)
+
+    k_new = jax.lax.dynamic_slice_in_dim(k_cache, prior, T, axis=1)  # (KVH,T,D)
+    v_new = jax.lax.dynamic_slice_in_dim(v_cache, prior, T, axis=1)
+
+    qf = q.reshape(T, KVH, G, D).astype(jnp.float32)
+    s = jnp.einsum("tkgd,ksd->kgts", qf, k_new.astype(jnp.float32))
+    s = s / jnp.sqrt(jnp.float32(D))
+    mask = tree_mask.astype(jnp.bool_)  # (T, T)
+    if window > 0:
+        # new keys are within the window of each other by construction
+        # (tree depth « window); nothing extra to mask here.
+        pass
+    s = jnp.where(mask[None, None], s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    out = jnp.einsum("kgts,ksd->tkgd", e / l, v_new.astype(jnp.float32))
+    lse = (m + jnp.log(l)).squeeze(-1)  # (KVH, G, T)
+    out = out.reshape(T, H, D).astype(q.dtype)
+    lse = lse.transpose(2, 0, 1).reshape(T, H)
+    return out, lse

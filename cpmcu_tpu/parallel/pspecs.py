@@ -8,7 +8,7 @@ Tensor-parallel layout (Megatron-style; collectives ride ICI under pjit):
   * lm_head.w:  vocab column-sharded        (H, V)      -> P(None, tp)
   * embed:      replicated (gather is tiny; vocab-sharding it would turn the
                 gather into a collective on every step)
-  * KV cache:   head-sharded                (L, S, KVH, D) -> P(None, None, tp, None)
+  * KV cache:   head-sharded                (L, KVH, S, D) -> P(None, tp, None, None)
 
 XLA inserts the psum after wo / w_down contractions automatically when the
 inputs carry these shardings — the TPU-native replacement for the NCCL
@@ -67,8 +67,8 @@ def kv_pspec():
     from ..cache.kv import KVCache
 
     return KVCache(
-        k=P(None, None, AXIS_TP, None),
-        v=P(None, None, AXIS_TP, None),
+        k=P(None, AXIS_TP, None, None),
+        v=P(None, AXIS_TP, None, None),
         length=P(),
     )
 

@@ -1,0 +1,109 @@
+"""Pallas flash kernel vs the XLA attention oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpmcu_tpu.ops.attention import mha_xla
+from cpmcu_tpu.ops.flash import flash_mha, merge_attn, mha_flash
+
+
+def _mk(T, H, KVH, D, S, seed=0, dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(k1, (T, H, D), dtype)
+    k = jax.random.normal(k2, (KVH, S, D), dtype)
+    v = jax.random.normal(k3, (KVH, S, D), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize(
+    "T,prior,window,sink",
+    [
+        (1, 50, 0, 0),      # vanilla decode
+        (1, 0, 0, 0),       # decode on empty history (first token)
+        (16, 37, 0, 0),     # chunk mid-prefill (unaligned prior)
+        (35, 0, 0, 0),      # first chunk, T not multiple of tiles
+        (16, 40, 24, 0),    # sliding window
+        (16, 40, 24, 2),    # sliding window + sink tokens
+        (64, 64, 0, 0),     # aligned
+    ],
+)
+def test_flash_causal_matches_xla(T, prior, window, sink):
+    H, KVH, D, S = 8, 2, 128, 128
+    q, k, v = _mk(T, H, KVH, D, S)
+    prior = jnp.asarray(prior, jnp.int32)
+
+    ref = mha_xla(q, k, v, prior, window=window, sink=sink)
+    out = flash_mha(
+        q, k, v, prior, causal=True, window=window, sink=sink,
+        bk=16, bqt=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_multi_qtile():
+    # T spans several q tiles, multiple kv blocks
+    H, KVH, D, S = 4, 4, 64, 256
+    T, prior = 48, 100
+    q, k, v = _mk(T, H, KVH, D, S, seed=3)
+    prior = jnp.asarray(prior, jnp.int32)
+    ref = mha_xla(q, k, v, prior)
+    out = flash_mha(q, k, v, prior, bk=32, bqt=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_lse_merge_tree_mask():
+    """History kernel + XLA tree block merged by LSE == oracle with tree mask."""
+    H, KVH, D, S = 8, 2, 64, 128
+    T, prior = 12, 55
+    q, k, v = _mk(T, H, KVH, D, S, seed=1)
+    prior_j = jnp.asarray(prior, jnp.int32)
+
+    # a random tree: node i attends a random subset of ancestors + itself
+    rng = np.random.default_rng(0)
+    tm = np.tril(rng.integers(0, 2, size=(T, T)).astype(bool))
+    np.fill_diagonal(tm, True)
+    tm = jnp.asarray(tm)
+
+    ref = mha_xla(q, k, v, prior_j, tm)
+
+    from cpmcu_tpu.ops.flash import _tree_block_attn
+
+    out_h, lse_h = flash_mha(
+        q, k, v, prior_j, causal=False, return_lse=True,
+        bk=16, bqt=8, interpret=True,
+    )
+    out_t, lse_t = _tree_block_attn(q, k, v, prior_j, tm, window=0, sink=0)
+    out = merge_attn(out_h, lse_h, out_t, lse_t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_tree_merge_empty_history():
+    """Tree decode immediately after empty prefill: history part must vanish."""
+    H, KVH, D, S = 4, 2, 64, 64
+    T = 8
+    q, k, v = _mk(T, H, KVH, D, S, seed=2)
+    prior = jnp.asarray(0, jnp.int32)
+    tm = jnp.asarray(np.tril(np.ones((T, T), bool)))
+    ref = mha_xla(q, k, v, prior, tm)
+
+    from cpmcu_tpu.ops.flash import _tree_block_attn
+
+    out_h, lse_h = flash_mha(
+        q, k, v, prior, causal=False, return_lse=True, bk=16, bqt=8, interpret=True
+    )
+    out_t, lse_t = _tree_block_attn(q, k, v, prior, tm, window=0, sink=0)
+    out = merge_attn(out_h, lse_h, out_t, lse_t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_mha_flash_dispatch_tree():
+    H, KVH, D, S = 8, 2, 64, 128
+    T, prior = 6, 30
+    q, k, v = _mk(T, H, KVH, D, S, seed=4)
+    prior_j = jnp.asarray(prior, jnp.int32)
+    tm = jnp.asarray(np.tril(np.ones((T, T), bool)))
+    ref = mha_xla(q, k, v, prior_j, tm)
+    out = mha_flash(q, k, v, prior_j, tree_mask=tm)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
