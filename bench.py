@@ -19,12 +19,15 @@ def bench_decode(cfg, eng, steps=64, warmup=8, prompt_len=128):
     import jax
     import jax.numpy as jnp
 
-    from cpmcu_tpu.engine.engine import Engine
+    from cpmcu_tpu.engine.engine import Engine, decode_segment
     from cpmcu_tpu.models import llama
 
-    from cpmcu_tpu.engine.engine import decode_segment
+    if cfg.quant:
+        from cpmcu_tpu.models.quantize import init_params_quant
 
-    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        params = init_params_quant(cfg, jax.random.PRNGKey(0))
+    else:
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
     engine = Engine(cfg, eng, params)
 
     rng = np.random.default_rng(0)
@@ -71,22 +74,28 @@ def main():
     ap.add_argument(
         "--config", default="minicpm4-0.5b", choices=["minicpm4-0.5b", "minicpm4-8b"]
     )
+    ap.add_argument("--quant", action="store_true", help="W4A16 weights")
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--max-len", type=int, default=2048)
     args = ap.parse_args()
 
+    import dataclasses
+
     from cpmcu_tpu.core.config import MINICPM4_0_5B, MINICPM4_8B, EngineConfig
 
     cfg = {"minicpm4-0.5b": MINICPM4_0_5B, "minicpm4-8b": MINICPM4_8B}[args.config]
+    if args.quant:
+        cfg = dataclasses.replace(cfg, quant=True)
     eng = EngineConfig(chunk_length=512, max_total_length=args.max_len)
 
     try:
         r = bench_decode(cfg, eng, steps=args.steps)
         baseline = 154.59  # reference decode tok/s (BASELINE.md; 8B W4A16+spec on A100)
+        wt = "w4a16" if args.quant else "bf16"
         print(
             json.dumps(
                 {
-                    "metric": f"{args.config}-bf16-dense decode throughput (1 chip)",
+                    "metric": f"{args.config}-{wt}-dense decode throughput (1 chip)",
                     "value": round(r["decode_tok_s"], 2),
                     "unit": "tok/s",
                     "vs_baseline": round(r["decode_tok_s"] / baseline, 4),

@@ -106,6 +106,21 @@ _SUB_MAP = {
     "mlp.down_proj.weight": ("w_down", "w"),
 }
 
+# GPTQ checkpoint tensor names (AutoGPTQ/vLLM convention): qweight int32
+# (in/8, out), qzeros (in/g, out/8) int32, scales (in/g, out) fp16, g_idx.
+_HF_LINEARS = {
+    "self_attn.q_proj": "wq",
+    "self_attn.k_proj": "wk",
+    "self_attn.v_proj": "wv",
+    "self_attn.o_proj": "wo",
+    "mlp.gate_proj": "w_gate",
+    "mlp.up_proj": "w_up",
+    "mlp.down_proj": "w_down",
+}
+for _hf, _ours in _HF_LINEARS.items():
+    for _leaf in ("qweight", "qzeros", "scales", "g_idx"):
+        _SUB_MAP[f"{_hf}.{_leaf}"] = (_ours, _leaf)
+
 
 def _split_fused(name: str, arr: np.ndarray, cfg: ModelConfig):
     """Split fused qkv_proj / gate_up_proj rows (llm.py:126-131)."""
@@ -179,17 +194,45 @@ def load_params(
             raise ValueError(f"checkpoint missing layers {missing} for {key}")
         return np.stack(parts)
 
-    def dev(arr, name=None):
-        x = jnp.asarray(np.asarray(arr), dt)
+    def dev(arr, name=None, dtype=dt):
+        x = jnp.asarray(np.asarray(arr), dtype)
         if shardings and name in shardings:
             return device_put(x, shardings[name])
         return device_put(x)
+
+    # GPTQ repack pass: any sub with a qweight leaf becomes a {'q','s'} pack
+    # in the TPU kernel layout (ops.quant module docstring).
+    quant_subs = {k.split(".")[0] for k in staging if k.endswith(".qweight")}
+    for sub in quant_subs:
+        from ..ops.quant import repack_gptq
+
+        qw = stack(f"{sub}.qweight")
+        sc = stack(f"{sub}.scales")
+        qz = staging.get(f"{sub}.qzeros")
+        gi = staging.get(f"{sub}.g_idx")
+        qs, ss = [], []
+        for l in range(L):
+            pack = repack_gptq(
+                qw[l], sc[l],
+                qzeros=None if qz is None else qz[l],
+                g_idx=None if gi is None else gi[l],
+            )
+            qs.append(np.asarray(pack["q"]))
+            ss.append(np.asarray(pack["s"]))
+        for leaf in ("qweight", "scales", "qzeros", "g_idx"):
+            staging.pop(f"{sub}.{leaf}", None)
+        staging[f"{sub}.q"] = list(np.stack(qs))
+        staging[f"{sub}.s"] = list(np.stack(ss))
 
     layers: Dict[str, object] = {}
     for key in staging:
         sub, _, leaf = key.partition(".")
         stacked = stack(key)
-        if leaf:
+        if leaf in ("q",):
+            layers.setdefault(sub, {})[leaf] = dev(stacked, key, jnp.int32)
+        elif leaf in ("s",):
+            layers.setdefault(sub, {})[leaf] = dev(stacked, key, jnp.float32)
+        elif leaf:
             layers.setdefault(sub, {})[leaf] = dev(stacked, key)
         else:
             layers[sub] = dev(stacked, key)

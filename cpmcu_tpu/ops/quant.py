@@ -1,0 +1,244 @@
+"""W4A16 fused dequant-matmul (the Marlin-class kernel, TPU-native).
+
+Replaces the reference's vendored GPTQ-Marlin CUDA kernel
+(src/qgemm/gptq_marlin/, SURVEY.md §2.4) with a Pallas kernel and a packing
+designed for the TPU memory system — NOT Marlin's tensor-core permutation:
+
+**Pack layout.** Weights W (K, N), symmetric int4, group_size g=128.
+K is processed in chunks of 1024 unpacked rows. Within chunk ``c``, packed
+word ``(kq, n)`` (int32) holds 8 nibbles, nibble ``j`` = quantized
+``W[c*1024 + j*128 + kq, n]``. Consequences, by construction:
+
+  * nibble plane ``j`` of a 128-row packed block is a **contiguous** 128-row
+    span of K  -> the activation slice is a contiguous VMEM column block;
+  * that 128-row span is exactly **one scale group** -> per-plane dequant is
+    a single broadcast multiply, no gathers;
+  * a (128, BN) int32 block dequantizes to 1024 K-rows -> 4-bit HBM traffic,
+    which is what makes batch-1 decode ~4x faster than bf16 weights.
+
+Storage: ``q`` int32 (K/8, N), ``s`` float32 (K/g, N). Requires K % 1024 == 0
+and g == 128 (the reference's converter imposes the same: 4-bit, g=128, sym,
+desc_act=False — scripts/model_convert/gptq2marlin.py:86-95); other shapes
+fall back to the XLA dequant path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP_SIZE = 128
+KCHUNK = 1024  # unpacked K rows per packed 128-row block
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# packing (host-side, numpy)
+# ---------------------------------------------------------------------------
+
+def quantize_np(w: np.ndarray, group_size: int = GROUP_SIZE) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-group int4 quantization of W (K, N) -> (int4 values in
+    [0,15] with implicit zero-point 8, scales (K/g, N) f32).
+
+    Matches GPTQ sym semantics: w ≈ (q - 8) * s.
+    """
+    K, N = w.shape
+    assert K % group_size == 0
+    wg = w.reshape(K // group_size, group_size, N).astype(np.float32)
+    maxabs = np.abs(wg).max(axis=1)  # (K/g, N)
+    s = np.where(maxabs == 0, 1.0, maxabs / 7.0).astype(np.float32)
+    q = np.clip(np.round(wg / s[:, None, :]) + 8, 0, 15).astype(np.int32)
+    return q.reshape(K, N), s
+
+
+def pack_rows(q4: np.ndarray) -> np.ndarray:
+    """Pack int4 values (K, N) (range 0..15) into the kernel layout
+    int32 (K/8, N) described in the module docstring."""
+    K, N = q4.shape
+    assert K % KCHUNK == 0, f"K={K} must be a multiple of {KCHUNK}"
+    # (K/1024, 8, 128, N) — nibble j packs plane j
+    planes = q4.reshape(K // KCHUNK, 8, 128, N).astype(np.uint32)
+    word = np.zeros((K // KCHUNK, 128, N), np.uint32)
+    for j in range(8):
+        word |= planes[:, j] << (4 * j)
+    return word.reshape(K // 8, N).astype(np.int32)
+
+
+def unpack_rows(qpacked: np.ndarray) -> np.ndarray:
+    """Inverse of pack_rows: int32 (K/8, N) -> int4 values (K, N)."""
+    K8, N = qpacked.shape
+    K = K8 * 8
+    word = qpacked.astype(np.uint32).reshape(K // KCHUNK, 128, N)
+    planes = np.stack([(word >> (4 * j)) & 0xF for j in range(8)], axis=1)
+    return planes.reshape(K, N).astype(np.int32)
+
+
+def pack_weights(w: np.ndarray, group_size: int = GROUP_SIZE) -> dict:
+    """Quantize + pack a dense fp weight (K, N) -> {'q','s'} pack."""
+    q4, s = quantize_np(np.asarray(w, np.float32), group_size)
+    return {"q": jnp.asarray(pack_rows(q4)), "s": jnp.asarray(s)}
+
+
+def repack_gptq(
+    qweight: np.ndarray,  # GPTQ int32 (K/8, N), 8 consecutive K rows per word
+    scales: np.ndarray,  # (K/g, N) fp16
+    qzeros: Optional[np.ndarray] = None,  # (K/g, N/8) int32; sym => all 8
+    g_idx: Optional[np.ndarray] = None,
+) -> dict:
+    """Repack a GPTQ checkpoint tensor set into the TPU kernel layout.
+
+    The TPU analog of scripts/model_convert/gptq2marlin.py (which applies
+    Marlin's tensor-core permutation instead). Validates the same
+    restrictions: 4-bit, sym (zero point 8), no act-order.
+    """
+    K8, N = qweight.shape
+    K = K8 * 8
+    if g_idx is not None:
+        expected = np.repeat(np.arange(K // GROUP_SIZE), GROUP_SIZE)
+        if not np.array_equal(np.asarray(g_idx).ravel(), expected):
+            raise ValueError("act-order (desc_act) GPTQ checkpoints not supported")
+    # unpack GPTQ layout: nibble j of word k8 = row k8*8 + j
+    w = qweight.astype(np.uint32)
+    q4 = np.zeros((K, N), np.int32)
+    for j in range(8):
+        # GPTQ nibble j of word k8 is unpacked row k8*8 + j
+        q4[j::8] = ((w >> (4 * j)) & 0xF).astype(np.int32)
+    if qzeros is not None:
+        zp = np.asarray(qzeros).astype(np.uint32)
+        nib = np.stack([(zp >> (4 * j)) & 0xF for j in range(8)], axis=-1)
+        zps = nib.reshape(zp.shape[0], -1)[:, :N]
+        # GPTQ stores zero-point minus one in some exporter versions; the
+        # reference converter only accepts sym (zp==8) checkpoints
+        # (gptq2marlin.py:86-95) — enforce the same.
+        if not (np.all(zps == 8) or np.all(zps == 7)):
+            raise ValueError("only symmetric (zero-point 8) GPTQ supported")
+    return {
+        "q": jnp.asarray(pack_rows(q4)),
+        "s": jnp.asarray(np.asarray(scales, np.float32)),
+    }
+
+
+def dequantize(q, s, dtype=jnp.float32):
+    """XLA reference dequant: pack -> dense (K, N) in ``dtype``.
+
+    With dtype=bfloat16 this reproduces the kernel's rounding exactly
+    ((q-8) and s each cast to bf16 before the product)."""
+    K8, N = q.shape
+    K = K8 * 8
+    word = q.astype(jnp.uint32).reshape(K // KCHUNK, 128, N)
+    planes = jnp.stack(
+        [(word >> (4 * j)) & jnp.uint32(0xF) for j in range(8)], axis=1
+    )  # (K/1024, 8, 128, N)
+    vals = planes.astype(jnp.int32) - 8
+    vals = vals.reshape(K // GROUP_SIZE, GROUP_SIZE, N)
+    return (vals.astype(dtype) * s[:, None, :].astype(dtype)).reshape(K, N)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bm, bn, nk, out_dtype):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = q_ref[:]  # (128, BN) int32
+    x = x_ref[:]  # (BM, 1024)
+    s = s_ref[:]  # (8, BN) f32
+    acc = acc_ref[:]
+    dq_dtype = x.dtype  # bf16 activations -> bf16 dequant (MXU-native)
+    # nibble plane j is the contiguous K span [j*128, (j+1)*128) of this
+    # chunk by pack construction — dequant feeds the MXU directly, letting
+    # Mosaic overlap VPU dequant of plane j+1 with the MXU dot of plane j
+    for j in range(8):
+        nib = (jax.lax.shift_right_logical(w, 4 * j)) & 0xF
+        wj = (nib - 8).astype(dq_dtype) * s[j : j + 1].astype(dq_dtype)
+        xj = x[:, j * 128 : (j + 1) * 128]
+        acc = acc + jax.lax.dot_general(
+            xj, wj, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _done():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "bn", "bm", "interpret"))
+def quant_matmul_pallas(
+    x: jax.Array,  # (M, K) bf16/f32
+    q: jax.Array,  # (K/8, N) int32 (kernel pack layout)
+    s: jax.Array,  # (K/128, N) f32
+    *,
+    out_dtype=None,
+    bm: int = 256,
+    bn: int = 256,
+    interpret: Optional[bool] = None,
+):
+    if interpret is None:
+        interpret = _interpret_default()
+    M, K = x.shape
+    K8, N = q.shape
+    assert K == K8 * 8 and K % KCHUNK == 0
+    out_dtype = out_dtype or x.dtype
+
+    bm = min(bm, _round_up(M, 8))
+    bn = min(bn, N)
+    Mp = _round_up(M, bm)
+    Np = _round_up(N, bn)
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    if Np != N:
+        q = jnp.pad(q, ((0, 0), (0, Np - N)))
+        s = jnp.pad(s, ((0, 0), (0, Np - N)))
+
+    nm, nn, nk = Mp // bm, Np // bn, K // KCHUNK
+    grid = (nm, nn, nk)
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, bm=bm, bn=bn, nk=nk, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, KCHUNK), lambda m, n, k: (m, k)),
+            pl.BlockSpec((128, bn), lambda m, n, k: (k, n)),
+            pl.BlockSpec((8, bn), lambda m, n, k: (k, n)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
+    )(x, q, s)
+    return out[:M, :N]
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def quant_matmul(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
+    """Dispatch: Pallas fused kernel when supported, XLA dequant otherwise.
+
+    ``x`` may be (..., K); output (..., N) in x.dtype.
+    """
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    K8, N = q.shape
+    if K == K8 * 8 and K % KCHUNK == 0 and jax.default_backend() == "tpu":
+        out = quant_matmul_pallas(x2, q, s)
+    else:
+        w = dequantize(q, s).astype(x.dtype)
+        out = jnp.dot(x2, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    return out.reshape(*lead, N)

@@ -1,0 +1,120 @@
+"""W4A16 pack/repack/matmul correctness (CPU: XLA fallback + interpret kernel)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpmcu_tpu.ops.quant import (
+    GROUP_SIZE,
+    dequantize,
+    pack_rows,
+    pack_weights,
+    quant_matmul,
+    quant_matmul_pallas,
+    quantize_np,
+    repack_gptq,
+    unpack_rows,
+)
+
+
+def test_pack_roundtrip():
+    rng = np.random.default_rng(0)
+    q4 = rng.integers(0, 16, size=(2048, 96), dtype=np.int32)
+    packed = pack_rows(q4)
+    assert packed.shape == (256, 96)
+    np.testing.assert_array_equal(unpack_rows(packed), q4)
+
+
+def test_quantize_error_bound():
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((1024, 64)).astype(np.float32)
+    q4, s = quantize_np(w)
+    deq = np.asarray(dequantize(jnp.asarray(pack_rows(q4)), jnp.asarray(s)))
+    # max error within half a quantization step per group
+    step = np.repeat(s, GROUP_SIZE, axis=0)
+    assert np.all(np.abs(deq - w) <= step * 0.5 + 1e-6)
+
+
+def test_quant_matmul_xla_matches_dequant():
+    rng = np.random.default_rng(2)
+    K, N, M = 1024, 192, 4
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+    pack = pack_weights(w)
+    out = quant_matmul(x, pack["q"], pack["s"])
+    ref = x @ dequantize(pack["q"], pack["s"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("M,K,N", [(1, 1024, 256), (16, 2048, 384), (70, 1024, 128)])
+def test_quant_matmul_pallas_interpret(M, K, N):
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32), jnp.float32)
+    pack = pack_weights(w)
+    out = quant_matmul_pallas(x, pack["q"], pack["s"], bm=8, bn=128, interpret=True)
+    # kernel dequantizes in the activation dtype (f32 here) — exact path
+    ref = x @ dequantize(pack["q"], pack["s"], dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_repack_gptq_roundtrip():
+    """Build a GPTQ-format checkpoint tensor set and verify repack."""
+    rng = np.random.default_rng(4)
+    K, N = 1024, 128
+    q4 = rng.integers(0, 16, size=(K, N), dtype=np.int32)
+    scales = rng.uniform(0.01, 0.1, size=(K // GROUP_SIZE, N)).astype(np.float16)
+    # GPTQ packs 8 consecutive K rows per int32 word
+    gptq_qw = np.zeros((K // 8, N), np.uint32)
+    for j in range(8):
+        gptq_qw |= q4[j::8].astype(np.uint32) << (4 * j)
+    qzeros = np.full((K // GROUP_SIZE, N // 8), 0x88888888, np.uint32).astype(np.int32)
+    g_idx = np.repeat(np.arange(K // GROUP_SIZE), GROUP_SIZE).astype(np.int32)
+
+    pack = repack_gptq(gptq_qw.astype(np.int32), scales, qzeros, g_idx)
+    np.testing.assert_array_equal(unpack_rows(np.asarray(pack["q"])), q4)
+    ref = (q4.astype(np.float32) - 8.0) * np.repeat(
+        scales.astype(np.float32), GROUP_SIZE, axis=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(dequantize(pack["q"], pack["s"])), ref, rtol=1e-3, atol=1e-5
+    )
+
+
+def test_repack_gptq_rejects_act_order():
+    K, N = 1024, 64
+    qw = np.zeros((K // 8, N), np.int32)
+    sc = np.ones((K // GROUP_SIZE, N), np.float16)
+    bad_gidx = np.arange(K, dtype=np.int32) % (K // GROUP_SIZE)
+    with pytest.raises(ValueError, match="act-order"):
+        repack_gptq(qw, sc, None, bad_gidx)
+
+
+def test_quantized_model_end_to_end():
+    """Quantized tiny model == dense model with dequantized weights (exact on
+    the XLA fallback path)."""
+    import dataclasses
+
+    from cpmcu_tpu.core.config import EngineConfig, ModelConfig, RopeConfig
+    from cpmcu_tpu.engine.engine import Engine
+    from cpmcu_tpu.models import llama
+    from cpmcu_tpu.models.quantize import dequantize_params, quantize_params
+
+    cfg = ModelConfig(
+        vocab_size=256, num_layers=2, hidden_size=1024, intermediate_size=1024,
+        num_heads=8, num_kv_heads=2, head_dim=128, rope=RopeConfig(),
+        dtype="float32",
+    )
+    dense = llama.init_params(cfg, jax.random.PRNGKey(0), scale=0.05)
+    qcfg = dataclasses.replace(cfg, quant=True)
+    qparams = quantize_params(dense, cfg)
+    dparams = dequantize_params(qparams)
+
+    eng = EngineConfig(chunk_length=8, max_total_length=64)
+    e_q = Engine(qcfg, eng, qparams, attn_impl="xla")
+    e_d = Engine(cfg, eng, dparams, attn_impl="xla")
+    ids = [1, 2, 3, 4, 5, 6]
+    lq = np.asarray(e_q.decode(ids, list(range(6))))
+    ld = np.asarray(e_d.decode(ids, list(range(6))))
+    np.testing.assert_allclose(lq, ld, rtol=1e-4, atol=1e-4)
