@@ -69,12 +69,58 @@ def bench_decode(cfg, eng, steps=64, warmup=8, prompt_len=128):
     }
 
 
+def bench_spec(cfg, eng, steps=128, prompt_len=128):
+    """Spec-mode throughput. With random weights the drafter is uninformed
+    (accept ~1) — this measures per-round overhead, a lower bound; real
+    checkpoints reach ~2.5 accept (BASELINE.md)."""
+    import dataclasses
+
+    import jax
+
+    from cpmcu_tpu.engine.spec_engine import SpecEngine
+    from cpmcu_tpu.models import llama
+    from cpmcu_tpu.models.quantize import init_params_quant
+    from cpmcu_tpu.spec.eagle import EagleConfig, init_eagle_params
+
+    draft_cfg = dataclasses.replace(
+        cfg, num_layers=1, quant=False, intermediate_size=cfg.intermediate_size
+    )
+    ecfg = EagleConfig(
+        model=draft_cfg, num_iter=2, topk_per_iter=10, tree_size=12,
+        window=1024, use_input_norm=True, use_attn_norm=True,
+    )
+    if cfg.quant:
+        params = init_params_quant(cfg, jax.random.PRNGKey(0))
+    else:
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    eparams = init_eagle_params(ecfg, jax.random.PRNGKey(1))
+    engine = SpecEngine(cfg, ecfg, eng, params, eparams)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, size=prompt_len).tolist()
+    # warmup/compile
+    engine.generate(ids, generation_length=8)
+
+    engine.reset()
+    t0 = time.time()
+    toks, decode_time, prefill_time = engine.generate(ids, generation_length=steps)
+    total = time.time() - t0
+    n = len(toks)
+    return {
+        "decode_tok_s": (n - 1) / max(decode_time, 1e-9),
+        "prefill_tok_s": prompt_len / max(prefill_time, 1e-9),
+        "mean_accept": engine.mean_accept_length(),
+        "n_tokens": n,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--config", default="minicpm4-0.5b", choices=["minicpm4-0.5b", "minicpm4-8b"]
     )
     ap.add_argument("--quant", action="store_true", help="W4A16 weights")
+    ap.add_argument("--spec", action="store_true", help="EAGLE tree speculation")
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--max-len", type=int, default=2048)
     args = ap.parse_args()
@@ -89,17 +135,27 @@ def main():
     eng = EngineConfig(chunk_length=512, max_total_length=args.max_len)
 
     try:
-        r = bench_decode(cfg, eng, steps=args.steps)
         baseline = 154.59  # reference decode tok/s (BASELINE.md; 8B W4A16+spec on A100)
         wt = "w4a16" if args.quant else "bf16"
+        if args.spec:
+            r = bench_spec(cfg, eng, steps=args.steps)
+            extra = {
+                "prefill_tok_s": round(r["prefill_tok_s"], 2),
+                "mean_accept_length": round(r["mean_accept"], 3),
+            }
+            mode = "eagle-spec"
+        else:
+            r = bench_decode(cfg, eng, steps=args.steps)
+            extra = {"prefill_tok_s": round(r["prefill_tok_s"], 2)}
+            mode = "dense"
         print(
             json.dumps(
                 {
-                    "metric": f"{args.config}-{wt}-dense decode throughput (1 chip)",
+                    "metric": f"{args.config}-{wt}-{mode} decode throughput (1 chip)",
                     "value": round(r["decode_tok_s"], 2),
                     "unit": "tok/s",
                     "vs_baseline": round(r["decode_tok_s"] / baseline, 4),
-                    "extra": {"prefill_tok_s": round(r["prefill_tok_s"], 2)},
+                    "extra": extra,
                 }
             )
         )

@@ -143,6 +143,10 @@ class Engine:
     def commit(self, n: int):
         self.cache = self.cache.with_length(self.cache.length + n)
 
+    def reset(self):
+        """Start a new sequence (KV content is overwritten lazily)."""
+        self.cache = self.cache.with_length(0)
+
     def _sample(self, logits) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
         return sample(

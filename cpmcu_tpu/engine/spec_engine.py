@@ -1,0 +1,319 @@
+"""Speculative generation engine (EAGLE-2 tree drafting).
+
+Python owns only the accept bookkeeping (one small host readback per spec
+step, like the reference's accept-length sync, eagle.cuh:496-497); draft
+tree expansion + base tree decode + verification + KV fixup all run in ONE
+jitted program per step — the reference needs three pybind round trips and
+a CUDA-graph replay for the same work (tree_drafter.py:119-136).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cache.kv import KVCache
+from ..core.config import EngineConfig, ModelConfig
+from ..models import llama
+from ..ops.sampling import sample
+from ..spec.eagle import (
+    EagleConfig,
+    EagleState,
+    eagle_draft,
+    eagle_fc,
+    eagle_layers,
+)
+from ..spec.verify import fix_kv, verify_tree
+from .engine import Engine
+
+
+def _embed(base_cfg: ModelConfig, params, ids):
+    e = jnp.take(params["embed"], ids, axis=0).astype(base_cfg.jnp_dtype)
+    if base_cfg.scale_emb != 1.0:
+        e = e * jnp.asarray(base_cfg.scale_emb, e.dtype)
+    return e
+
+
+def _expand_and_verify(
+    base_cfg, ecfg, params, eparams, rope, cache, ekv, h_root, draft0, key,
+    *, temperature, top_k, top_p, attn_impl,
+):
+    orig = cache.length
+    tree_tokens, tree_pos, tree_mask, tree_parent, ekv = eagle_draft(
+        ecfg, base_cfg, eparams, params, rope, ekv, h_root, orig, attn_impl
+    )
+    tree_tokens = tree_tokens.at[0].set(jnp.asarray(draft0, jnp.int32))
+
+    logits, cache, normed = llama.forward(
+        base_cfg, params, rope, cache, tree_tokens, tree_pos, tree_mask,
+        logits_mode="all", attn_impl=attn_impl, return_hidden=True,
+    )
+    if temperature == 0.0:
+        gt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    else:
+        key, sub = jax.random.split(key)
+        gt = sample(logits, sub, temperature=temperature, top_k=top_k, top_p=top_p)
+
+    accept_len, accept_pos, emitted = verify_tree(
+        tree_tokens, gt, tree_pos, tree_mask, tree_parent, orig
+    )
+    cache = fix_kv(cache, accept_pos, accept_len, orig)
+
+    estate = EagleState(
+        kv=ekv.with_length(orig),
+        prev_embed=_embed(base_cfg, params, emitted),
+        prev_hidden=normed[accept_pos],
+        num_prev=accept_len,
+        pos0=orig.astype(jnp.int32),
+    )
+    return emitted, accept_len, cache, estate, key
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("base_cfg", "ecfg", "temperature", "top_k", "top_p", "attn_impl"),
+    donate_argnames=("cache", "ekv", "pend_embed", "pend_hidden"),
+)
+def spec_prefill_chunk(
+    base_cfg: ModelConfig,
+    ecfg: EagleConfig,
+    params, eparams, rope,
+    cache: KVCache,
+    ekv: KVCache,
+    chunk_tokens, positions, n_valid, logits_idx,
+    pend_embed, pend_hidden, pend_valid, ehist,
+    *, temperature=0.0, top_k=0, top_p=1.0, attn_impl="auto",
+):
+    """Base prefill chunk + lagged draft prefill of the previous chunk
+    (reference prefill lag: eagle.cuh:409-427)."""
+    C = chunk_tokens.shape[0]
+    emb_cur = _embed(base_cfg, params, chunk_tokens)
+
+    logits, cache, normed = llama.forward(
+        base_cfg, params, rope, cache, chunk_tokens, positions,
+        logits_idx=logits_idx, logits_mode="index",
+        attn_impl=attn_impl, return_hidden=True,
+    )
+
+    # draft-prefill the pending chunk; its missing last embed row is the
+    # current chunk's first token (eagle_prefill's memcpy, eagle.cuh:386)
+    pe = pend_embed.at[jnp.clip(pend_valid - 1, 0, C - 1)].set(emb_cur[0])
+    x = eagle_fc(ecfg, eparams, pe, pend_hidden)
+    epos = ehist + jnp.arange(C, dtype=jnp.int32)
+    _, ekv = eagle_layers(
+        ecfg, eparams, x, epos, ekv, rope,
+        prior=ehist, write_at=ehist, attn_impl=attn_impl,
+    )
+
+    new_pend_embed = jnp.zeros_like(pend_embed).at[: C - 1].set(emb_cur[1:])
+    return (
+        logits, cache, ekv,
+        new_pend_embed, normed, n_valid, ehist + pend_valid,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("base_cfg", "ecfg", "temperature", "top_k", "top_p", "attn_impl"),
+    donate_argnames=("cache", "ekv", "pend_embed", "pend_hidden"),
+)
+def spec_step_first(
+    base_cfg, ecfg, params, eparams, rope, cache, ekv,
+    pend_embed, pend_hidden, pend_valid, ehist, draft0, key,
+    *, temperature, top_k, top_p, attn_impl,
+):
+    """First draft after prefill: draft-prefill the final pending chunk with
+    draft0's embedding appended, then expand/verify (eagle.cuh:434-438)."""
+    C = pend_embed.shape[0]
+    emb0 = _embed(base_cfg, params, jnp.asarray(draft0, jnp.int32)[None])[0]
+    pe = pend_embed.at[jnp.clip(pend_valid - 1, 0, C - 1)].set(emb0)
+    x = eagle_fc(ecfg, eparams, pe, pend_hidden)
+    epos = ehist + jnp.arange(C, dtype=jnp.int32)
+    h, ekv = eagle_layers(
+        ecfg, eparams, x, epos, ekv, rope,
+        prior=ehist, write_at=ehist, attn_impl=attn_impl,
+    )
+    h_root = h[jnp.clip(pend_valid - 1, 0, C - 1)]
+    return _expand_and_verify(
+        base_cfg, ecfg, params, eparams, rope, cache, ekv, h_root, draft0, key,
+        temperature=temperature, top_k=top_k, top_p=top_p, attn_impl=attn_impl,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("base_cfg", "ecfg", "temperature", "top_k", "top_p", "attn_impl"),
+    donate_argnames=("cache", "estate"),
+)
+def spec_step(
+    base_cfg, ecfg, params, eparams, rope, cache, estate: EagleState, draft0, key,
+    *, temperature, top_k, top_p, attn_impl,
+):
+    """One draft -> tree-decode -> verify round (eagle_decode path)."""
+    S = ecfg.tree_size
+    x = eagle_fc(ecfg, eparams, estate.prev_embed, estate.prev_hidden)
+    positions = estate.pos0 + jnp.arange(S, dtype=jnp.int32)
+    h, ekv = eagle_layers(
+        ecfg, eparams, x, positions, estate.kv, rope,
+        prior=estate.pos0, write_at=estate.pos0, attn_impl=attn_impl,
+    )
+    h_root = h[jnp.clip(estate.num_prev - 1, 0, S - 1)]
+    return _expand_and_verify(
+        base_cfg, ecfg, params, eparams, rope, cache, ekv, h_root, draft0, key,
+        temperature=temperature, top_k=top_k, top_p=top_p, attn_impl=attn_impl,
+    )
+
+
+class SpecEngine(Engine):
+    """Engine with EAGLE-2 tree speculation (LLM_with_eagle analog)."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        ecfg: EagleConfig,
+        eng: EngineConfig = EngineConfig(),
+        params=None,
+        eparams=None,
+        attn_impl: str = "auto",
+    ):
+        super().__init__(cfg, eng, params, attn_impl)
+        self.ecfg = ecfg
+        self.eparams = eparams
+        # draft KV: base budget + expansion scratch slack
+        self.ekv = KVCache.create(
+            ecfg.model, self.max_total_length + 128, ecfg.model.num_layers
+        )
+        C = eng.chunk_length
+        H = cfg.hidden_size
+        self._reset_pending(C, H)
+        self.estate = None
+        self.accept_lengths: List[int] = []
+
+    def _reset_pending(self, C, H):
+        dt = self.cfg.jnp_dtype
+        self.pend_embed = jnp.zeros((C, H), dt)
+        self.pend_hidden = jnp.zeros((C, H), dt)
+        self.pend_valid = jnp.zeros((), jnp.int32)
+        self.ehist = jnp.zeros((), jnp.int32)
+
+    # -- prefill (chunked, with draft lag) ----------------------------------
+
+    def prefill(self, input_ids: Sequence[int], progress_callback=None):
+        ids = np.asarray(input_ids, np.int32).reshape(-1)
+        total = ids.size
+        if total + self.ecfg.tree_size > self.max_total_length:
+            raise ValueError(
+                f"Input token count ({total}) exceeds maximum supported length "
+                f"({self.max_total_length}) under current memory limit"
+            )
+        C = self.eng.chunk_length
+        t0 = time.time()
+        if progress_callback:
+            progress_callback("begin", {"total_tokens": total})
+        logits = None
+        for i in range(0, total, C):
+            n = min(total - i, C)
+            chunk = np.zeros((C,), np.int32)
+            chunk[:n] = ids[i : i + n]
+            pos = np.arange(i, i + C, dtype=np.int32)
+            (logits, self.cache, self.ekv,
+             self.pend_embed, self.pend_hidden, self.pend_valid, self.ehist) = (
+                spec_prefill_chunk(
+                    self.cfg, self.ecfg, self.params, self.eparams, self.rope,
+                    self.cache, self.ekv,
+                    jnp.asarray(chunk), jnp.asarray(pos),
+                    jnp.asarray(n, jnp.int32), jnp.asarray(n - 1, jnp.int32),
+                    self.pend_embed, self.pend_hidden, self.pend_valid, self.ehist,
+                    attn_impl=self.attn_impl,
+                )
+            )
+            self.cache = self.cache.with_length(self.cache.length + n)
+            if progress_callback:
+                progress_callback("advance", {"current_tokens": min(i + C, total)})
+        np.asarray(logits)  # real sync (block_until_ready is unreliable here)
+        self._last_prefill_time = time.time() - t0
+        if progress_callback:
+            progress_callback("finish", {"total_time": self._last_prefill_time})
+        self.estate = None
+        return logits
+
+    # -- spec generation -----------------------------------------------------
+
+    def _spec_round(self, draft0: int):
+        kw = dict(
+            temperature=self.eng.temperature,
+            top_k=self.eng.top_k,
+            top_p=self.eng.top_p,
+            attn_impl=self.attn_impl,
+        )
+        if self.estate is None:
+            emitted, accept_len, self.cache, self.estate, self.key = spec_step_first(
+                self.cfg, self.ecfg, self.params, self.eparams, self.rope,
+                self.cache, self.ekv,
+                self.pend_embed, self.pend_hidden, self.pend_valid, self.ehist,
+                jnp.asarray(draft0, jnp.int32), self.key, **kw,
+            )
+        else:
+            emitted, accept_len, self.cache, self.estate, self.key = spec_step(
+                self.cfg, self.ecfg, self.params, self.eparams, self.rope,
+                self.cache, self.estate,
+                jnp.asarray(draft0, jnp.int32), self.key, **kw,
+            )
+        n = int(accept_len)
+        toks = np.asarray(emitted)[:n].tolist()
+        return toks, n
+
+    def _generate_stream(self, input_ids, generation_length, terminators, progress_callback):
+        terminators = set(int(t) for t in terminators)
+        logits = self.prefill(input_ids, progress_callback)
+        token = int(self._sample(logits))
+        prefill_time = self._last_prefill_time
+        decode_start = time.time()
+        self.accept_lengths = []
+        emitted_count = 0
+
+        def item(tok, finished, accept_len):
+            return {
+                "token": tok,
+                "is_finished": finished,
+                "prefill_time": prefill_time,
+                "decode_time": time.time() - decode_start,
+                "accept_length": accept_len,
+            }
+
+        finished = token in terminators or generation_length <= 1
+        yield item(token, finished, 1)
+        emitted_count = 1
+        if finished:
+            return
+        draft0 = token
+        while True:
+            toks, n = self._spec_round(draft0)
+            self.accept_lengths.append(n)
+            for j, t in enumerate(toks):
+                finished = (
+                    t in terminators or emitted_count + 1 >= generation_length
+                )
+                yield item(t, finished, n if j == 0 else 0)
+                emitted_count += 1
+                if finished:
+                    return
+            draft0 = toks[-1]
+
+    def mean_accept_length(self) -> float:
+        return float(np.mean(self.accept_lengths)) if self.accept_lengths else 0.0
+
+    def reset(self):
+        """Start a new sequence. After the first spec step the draft KV
+        buffer is owned by ``estate`` (the engine's handle was donated)."""
+        super().reset()
+        if self.estate is not None:
+            self.ekv = self.estate.kv.with_length(0)
+        self.estate = None
+        self._reset_pending(self.eng.chunk_length, self.cfg.hidden_size)
+        self.accept_lengths = []

@@ -244,3 +244,94 @@ def load_params(
         "lm_head": {"w": dev(top["lm_head"], "lm_head.w")},
     }
     return params
+
+
+# ---------------------------------------------------------------------------
+# EAGLE drafter checkpoints
+# ---------------------------------------------------------------------------
+
+
+def load_eagle_params(
+    path_or_tensors,
+    base_cfg: ModelConfig,
+    ecfg,
+    base_params: Optional[dict] = None,
+    token_id_remap=None,
+):
+    """Load an EAGLE-2 drafter checkpoint into the spec.eagle pytree.
+
+    Name mangling mirrors cpmcu/speculative/eagle.py:149-163: the fused
+    ``fc.weight`` (H_out, 2H_in) splits into fc1 (embedding half) and fc2
+    (hidden half); ``fc.bias`` belongs to fc1; ``embed_tokens`` is dropped
+    (the drafter shares the base embedding). With FR-Spec
+    (``token_id_remap`` given), the draft lm_head is the base lm_head
+    gathered at the frequency-ranked ids (remap_copy, minicpm4_eagle.cuh:222).
+    """
+    import numpy as np
+
+    tensors = (
+        iter_checkpoint_tensors(path_or_tensors)
+        if isinstance(path_or_tensors, str)
+        else path_or_tensors
+    )
+    m = ecfg.model
+    dt = m.jnp_dtype
+    L = m.num_layers
+    H = m.hidden_size
+    staging: Dict[str, list] = {}
+    ep: Dict[str, object] = {}
+
+    for name, arr in tensors:
+        name = name.removeprefix("model.")
+        if "embed_tokens" in name or "rotary_emb" in name:
+            continue
+        if name == "token_id_remap":
+            token_id_remap = np.asarray(arr)
+            continue
+        if name == "fc.weight":
+            ep["fc1_w"] = arr[:, :H].T
+            ep["fc2_w"] = arr[:, H:].T
+            continue
+        if name == "fc.bias":
+            ep["fc1_b"] = arr
+            continue
+        if name in ("input_norm1.weight", "input_norm2.weight"):
+            ep[name.split(".")[0]] = arr
+            continue
+        mm = re.match(r"layers\.(\d+)\.(.+)", name)
+        if mm and mm.group(2) in _SUB_MAP:
+            sub, leaf = _SUB_MAP[mm.group(2)]
+            arr2 = arr.T if leaf == "w" else arr
+            key = f"{sub}.{leaf}" if leaf else sub
+            staging.setdefault(key, [None] * L)[int(mm.group(1))] = arr2
+
+    layers: Dict[str, object] = {}
+    for key, parts in staging.items():
+        if any(p is None for p in parts):
+            raise ValueError(f"eagle checkpoint missing layers for {key}")
+        sub, _, leaf = key.partition(".")
+        stacked = jnp.asarray(np.stack(parts), dt)
+        if leaf:
+            layers.setdefault(sub, {})[leaf] = stacked
+        else:
+            layers[sub] = stacked
+
+    out = {
+        "fc1": {"w": jnp.asarray(np.asarray(ep["fc1_w"]), dt)},
+        "fc2": {"w": jnp.asarray(np.asarray(ep["fc2_w"]), dt)},
+        "layers": layers,
+    }
+    if "fc1_b" in ep:
+        out["fc1"]["b"] = jnp.asarray(np.asarray(ep["fc1_b"]), dt)
+    if "input_norm1" in ep:
+        out["input_norm1"] = jnp.asarray(np.asarray(ep["input_norm1"]), dt)
+        out["input_norm2"] = jnp.asarray(np.asarray(ep["input_norm2"]), dt)
+
+    if token_id_remap is not None and ecfg.frspec_vocab_size:
+        remap = jnp.asarray(
+            np.asarray(token_id_remap)[: ecfg.frspec_vocab_size], jnp.int32
+        )
+        out["token_id_remap"] = remap
+        if base_params is not None:
+            out["lm_head"] = {"w": base_params["lm_head"]["w"][:, remap]}
+    return out

@@ -33,6 +33,9 @@ def attention_block(
     window: int = 0,
     sink: int = 0,
     attn_impl: str = "auto",
+    write_at=None,  # KV write offset; defaults to cache_len (they differ in
+                    # the EAGLE tree-expansion loop where frontier slots for
+                    # depth d live at cache_len + topk*(d-1))
 ):
     T = x.shape[0]
     q = linear(p["wq"], x).reshape(T, cfg.num_heads, cfg.head_dim)
@@ -45,7 +48,9 @@ def attention_block(
 
     q, k = apply_rope(q, k, rope_cos, rope_sin, positions)
 
-    k_cache, v_cache = append_layer(k_cache, v_cache, k, v, cache_len)
+    k_cache, v_cache = append_layer(
+        k_cache, v_cache, k, v, cache_len if write_at is None else write_at
+    )
 
     out = mha(
         q, k_cache, v_cache, cache_len,

@@ -132,7 +132,7 @@ def forward_batch(cfg: ModelConfig, params: dict, tokens: jax.Array) -> jax.Arra
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "logits_mode", "window", "sink", "attn_impl"),
+    static_argnames=("cfg", "logits_mode", "window", "sink", "attn_impl", "return_hidden"),
     donate_argnames=("cache",),
 )
 def forward(
@@ -149,6 +149,9 @@ def forward(
     window: int = 0,
     sink: int = 0,
     attn_impl: str = "auto",
+    return_hidden: bool = False,  # also return post-final-norm hidden for
+                                  # all T tokens (the EAGLE drafter input;
+                                  # reference model.cuh:157 norms all tokens)
 ):
     """One forward pass of T tokens against the cache.
 
@@ -178,14 +181,21 @@ def forward(
     h, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"], cache.k, cache.v))
     new_cache = KVCache(new_k, new_v, cache.length)
 
-    if logits_mode == "none":
+    if logits_mode == "none" and not return_hidden:
         return h, new_cache
 
+    if return_hidden or logits_mode == "all":
+        normed_all = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+
+    if logits_mode == "none":
+        return h, new_cache, normed_all
     if logits_mode == "index":
         idx = jnp.asarray(0 if logits_idx is None else logits_idx, jnp.int32)
         h_sel = jax.lax.dynamic_slice_in_dim(h, idx, 1, axis=0)
+        normed = rms_norm(h_sel, params["final_norm"], cfg.rms_norm_eps)
     else:
-        h_sel = h
-    normed = rms_norm(h_sel, params["final_norm"], cfg.rms_norm_eps)
+        normed = normed_all
     logits = lm_head(params["lm_head"], normed, cfg.scale_lmhead)
+    if return_hidden:
+        return logits.astype(jnp.float32), new_cache, normed_all
     return logits.astype(jnp.float32), new_cache

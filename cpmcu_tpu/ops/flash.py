@@ -351,15 +351,17 @@ def mha_flash(
 
 
 def _tree_block_attn(q, k_cache, v_cache, prior_len, tree_mask, *, window, sink):
-    """Attention of the T new queries against only the T new keys at
-    [prior, prior+T), masked by the draft tree's ancestor masks."""
+    """Attention of the T new queries against the Km masked keys at
+    [prior, prior+Km), masked by the (T, Km) tree/ancestor mask. Km == T for
+    base-model tree verification; Km = topk*d > T in the EAGLE expansion."""
     T, H, D = q.shape
+    Km = tree_mask.shape[1]
     KVH = k_cache.shape[0]
     G = H // KVH
     prior = jnp.asarray(prior_len, jnp.int32)
 
-    k_new = jax.lax.dynamic_slice_in_dim(k_cache, prior, T, axis=1)  # (KVH,T,D)
-    v_new = jax.lax.dynamic_slice_in_dim(v_cache, prior, T, axis=1)
+    k_new = jax.lax.dynamic_slice_in_dim(k_cache, prior, Km, axis=1)  # (KVH,Km,D)
+    v_new = jax.lax.dynamic_slice_in_dim(v_cache, prior, Km, axis=1)
 
     qf = q.reshape(T, KVH, G, D).astype(jnp.float32)
     s = jnp.einsum("tkgd,ksd->kgts", qf, k_new.astype(jnp.float32))

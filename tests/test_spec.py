@@ -1,0 +1,154 @@
+"""Speculative decoding: verification semantics + lossless greedy generation."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpmcu_tpu.core.config import EngineConfig, ModelConfig, RopeConfig
+from cpmcu_tpu.engine.engine import Engine
+from cpmcu_tpu.engine.spec_engine import SpecEngine
+from cpmcu_tpu.models import llama
+from cpmcu_tpu.spec.eagle import EagleConfig, init_eagle_params
+from cpmcu_tpu.spec.tree import ancestor_closure
+from cpmcu_tpu.spec.verify import verify_tree
+
+
+def _verify_reference(pred, gt, positions, mask, parent, prior):
+    """Numpy port of the CUDA verify kernel semantics
+    (tree_drafter.cuh:5-46)."""
+    S = len(pred)
+    correct = np.zeros(S, bool)
+    correct[0] = True
+    for i in range(1, S):
+        correct[i] = pred[i] == gt[parent[i]]
+    best_len, best = 1, 0
+    for i in range(S):
+        if all(correct[j] for j in range(S) if mask[i][j]):
+            depth = positions[i] - prior + 1
+            if depth > best_len:
+                best_len, best = depth, i
+    path = sorted([i for i in range(S) if mask[best][i]], key=lambda i: positions[i])
+    emitted = [gt[i] for i in path]
+    return best_len, path, emitted
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_verify_tree_matches_reference(seed):
+    rng = np.random.default_rng(seed)
+    S = 12
+    parent = np.zeros(S, np.int32)
+    for i in range(1, S):
+        parent[i] = rng.integers(0, i)
+    mask = np.asarray(ancestor_closure(jnp.asarray(parent)))
+    positions = 100 + np.array(
+        [_depth(parent, i) - 1 for i in range(S)], np.int32
+    )
+    pred = rng.integers(0, 50, S).astype(np.int32)
+    gt = rng.integers(0, 4, S).astype(np.int32)  # small vocab -> some matches
+    pred[1:] = np.where(rng.random(S - 1) < 0.6, gt[parent[1:]], pred[1:])
+
+    ref_len, ref_path, ref_emitted = _verify_reference(
+        pred, gt, positions, mask, parent, 100
+    )
+    alen, apos, emitted = verify_tree(
+        jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(positions),
+        jnp.asarray(mask), jnp.asarray(parent), jnp.asarray(100, jnp.int32),
+    )
+    assert int(alen) == ref_len
+    np.testing.assert_array_equal(np.asarray(apos)[:ref_len], ref_path)
+    np.testing.assert_array_equal(np.asarray(emitted)[:ref_len], ref_emitted)
+
+
+def _depth(parent, i):
+    d = 1
+    while i != 0:
+        i = parent[i]
+        d += 1
+    return d
+
+
+def test_ancestor_closure():
+    parent = jnp.asarray([0, 0, 0, 1, 1, 3], jnp.int32)
+    m = np.asarray(ancestor_closure(parent))
+    assert m[5].tolist() == [True, True, False, True, False, True]
+    assert m[2].tolist() == [True, False, True, False, False, False]
+
+
+@pytest.fixture(scope="module")
+def tiny_pair():
+    cfg = ModelConfig(
+        vocab_size=128, num_layers=2, hidden_size=64, intermediate_size=96,
+        num_heads=4, num_kv_heads=2, head_dim=16, rope=RopeConfig(),
+        dtype="float32",
+    )
+    draft_cfg = dataclasses.replace(cfg, num_layers=1, intermediate_size=64)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, draft_cfg, params
+
+
+@pytest.mark.parametrize("use_attn_norm,chunk", [(False, 8), (True, 5)])
+def test_spec_greedy_lossless(tiny_pair, use_attn_norm, chunk):
+    """Greedy speculative output must equal greedy vanilla output exactly,
+    regardless of drafter quality (here: random drafter)."""
+    cfg, draft_cfg, params = tiny_pair
+    ecfg = EagleConfig(
+        model=draft_cfg, num_iter=3, topk_per_iter=4, tree_size=8,
+        use_input_norm=not use_attn_norm, use_attn_norm=use_attn_norm,
+    )
+    eparams = init_eagle_params(ecfg, jax.random.PRNGKey(7))
+
+    eng = EngineConfig(chunk_length=chunk, max_total_length=128)
+    prompt = [3, 14, 15, 9, 26, 5, 35]
+
+    vanilla = Engine(cfg, eng, params, attn_impl="xla")
+    ref_tokens, _, _ = vanilla.generate(prompt, generation_length=16)
+
+    spec = SpecEngine(cfg, ecfg, eng, params, eparams, attn_impl="xla")
+    out_tokens, _, _ = spec.generate(prompt, generation_length=16)
+
+    assert out_tokens == ref_tokens
+    assert len(spec.accept_lengths) > 0
+    assert all(a >= 1 for a in spec.accept_lengths)
+
+
+def test_spec_frspec_lossless(tiny_pair):
+    """FR-Spec (reduced draft vocab + id remap) stays lossless under greedy."""
+    cfg, draft_cfg, params = tiny_pair
+    fr = 32
+    ecfg = EagleConfig(
+        model=draft_cfg, num_iter=2, topk_per_iter=4, tree_size=6,
+        frspec_vocab_size=fr,
+    )
+    eparams = init_eagle_params(ecfg, jax.random.PRNGKey(9))
+    remap = jnp.asarray(np.random.default_rng(0).permutation(128)[:fr], jnp.int32)
+    eparams["token_id_remap"] = remap
+    eparams["lm_head"] = {"w": params["lm_head"]["w"][:, remap]}
+
+    eng = EngineConfig(chunk_length=8, max_total_length=128)
+    prompt = [1, 2, 3, 4]
+
+    ref_tokens, _, _ = Engine(cfg, eng, params, attn_impl="xla").generate(
+        prompt, generation_length=12
+    )
+    spec = SpecEngine(cfg, ecfg, eng, params, eparams, attn_impl="xla")
+    out_tokens, _, _ = spec.generate(prompt, generation_length=12)
+    assert out_tokens == ref_tokens
+
+
+def test_spec_long_multi_chunk_prefill(tiny_pair):
+    """Prompt spanning several chunks exercises the drafter prefill lag."""
+    cfg, draft_cfg, params = tiny_pair
+    ecfg = EagleConfig(model=draft_cfg, num_iter=2, topk_per_iter=3, tree_size=6)
+    eparams = init_eagle_params(ecfg, jax.random.PRNGKey(3))
+    eng = EngineConfig(chunk_length=6, max_total_length=128)
+    prompt = list(np.random.default_rng(5).integers(0, 128, size=20))
+
+    ref_tokens, _, _ = Engine(cfg, eng, params, attn_impl="xla").generate(
+        prompt, generation_length=10
+    )
+    spec = SpecEngine(cfg, ecfg, eng, params, eparams, attn_impl="xla")
+    out_tokens, _, _ = spec.generate(prompt, generation_length=10)
+    assert out_tokens == ref_tokens
