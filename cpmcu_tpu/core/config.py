@@ -94,13 +94,15 @@ class ModelConfig:
     quant: bool = False
     quant_group_size: int = 128
 
-    # --- InfLLM-v2 block-sparse attention (reference §2.5) ---
+    # --- InfLLM-v2 block-sparse attention (reference §2.5; defaults from
+    # cpmcu/common/args.py:72-84: sink 1, block window 8, topk 64, switch 0,
+    # compress-lse on) ---
     apply_sparse: bool = False
-    sink_window_size: int = 1
-    block_window_size: int = 32
-    sparse_topk_k: int = 32
-    sparse_switch: int = 8192
-    use_compress_lse: bool = False
+    sink_window_size: int = 1  # init_blocks: leading blocks always selected
+    block_window_size: int = 8  # local window + top-k exclusion, 64-tok blocks
+    sparse_topk_k: int = 64
+    sparse_switch: int = 0  # engage selection once compressed coverage > this
+    use_compress_lse: bool = True  # stage-1 LSE from the 64x-compressed keys
 
     @property
     def q_size(self) -> int:
@@ -227,6 +229,45 @@ class EngineConfig:
     # sharding
     tp_size: int = 1
     dp_size: int = 1
+
+
+# MiniCPM4 YARN factors, hardcoded by the reference for long-context runs
+# (cpmcu/common/utils.py:183-210 apply_minicpm4_yarn_config); head_dim 128
+# -> 64 per-frequency factors, long == short.
+MINICPM4_YARN_FACTORS = (
+    0.9977997200264581, 1.014658295992452, 1.0349680404997148, 1.059429246056193,
+    1.0888815016813513, 1.1243301355211495, 1.166977103606075, 1.2182568066927284,
+    1.2798772354275727, 1.3538666751582975, 1.4426259039919596, 1.5489853358570191,
+    1.6762658237220625, 1.8283407612492941, 2.0096956085876183, 2.225478927469756,
+    2.481536379650452, 2.784415934557119, 3.1413289096347365, 3.560047844772632,
+    4.048719380066383, 4.752651957515948, 5.590913044973868, 6.584005926629993,
+    7.7532214876576155, 9.119754865903639, 10.704443927019176, 12.524994176518703,
+    14.59739595363613, 16.93214476166354, 19.53823297353041, 22.417131025031697,
+    25.568260840911098, 28.991144156566317, 32.68408069090375, 36.65174474170465,
+    40.90396065611201, 45.4664008671033, 50.37147343433591, 55.6804490772103,
+    61.470816952306556, 67.8622707390618, 75.00516023410414, 83.11898235973767,
+    92.50044360202462, 103.57086856690864, 116.9492274587385, 118.16074567836519,
+    119.18497548708795, 120.04810876261652, 120.77352815196981, 121.38182790207875,
+    121.89094985353891, 122.31638758099915, 122.6714244963338, 122.9673822552567,
+    123.21386397019609, 123.41898278254268, 123.58957065488238, 123.73136519024158,
+    123.84917421274221, 123.94701903496814, 124.02825801299717, 124.09569231686116,
+)
+
+
+def minicpm4_yarn_rope(
+    theta: float = 10000.0,
+    original_max: int = 32768,
+    max_position: int = 131072,
+) -> RopeConfig:
+    """LongRoPE/YARN RopeConfig with the MiniCPM4 factor table applied."""
+    return RopeConfig(
+        rope_type="longrope",
+        theta=theta,
+        short_factor=MINICPM4_YARN_FACTORS,
+        long_factor=MINICPM4_YARN_FACTORS,
+        original_max_position_embeddings=original_max,
+        max_position_embeddings=max_position,
+    )
 
 
 # Known-good configs for the BASELINE ladder (sizes from the public

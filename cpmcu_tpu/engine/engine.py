@@ -32,12 +32,15 @@ from ..utils.perf import perf_scope
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "k", "temperature", "top_k", "top_p", "attn_impl"),
+    static_argnames=(
+        "cfg", "k", "temperature", "top_k", "top_p", "attn_impl", "sparse_select"
+    ),
     donate_argnames=("cache",),
 )
 def decode_segment(
     cfg, params, rope, cache, token, pos, key,
     *, k: int, temperature: float, top_k: int, top_p: float, attn_impl: str,
+    sparse_select: bool = False,
 ):
     """K greedy/sampled decode steps fused into one device program.
 
@@ -46,14 +49,18 @@ def decode_segment(
     sample, cache append) runs on device, so host<->device round trips are
     amortized over ``k`` tokens. Returns (cache, tokens(k,), new_key).
     """
+    from ..cache.sparse_kv import commit as sparse_commit
 
     def body(carry, _):
         cache, tok, p, key = carry
         logits, cache = llama.forward(
             cfg, params, rope, cache, tok[None], p[None],
-            logits_mode="all", attn_impl=attn_impl,
+            logits_mode="all", attn_impl=attn_impl, sparse_select=sparse_select,
         )
-        cache = cache.with_length(cache.length + 1)
+        if hasattr(cache, "c1"):
+            cache = sparse_commit(cache, 1, max_new=1)
+        else:
+            cache = cache.with_length(cache.length + 1)
         key, sub = jax.random.split(key)
         nxt = sample(logits[-1], sub, temperature=temperature, top_k=top_k, top_p=top_p)
         return (cache, nxt, p + 1, key), nxt
@@ -80,9 +87,29 @@ class Engine:
         self.max_total_length = solve_kv_budget(cfg, eng)
         self.rope = llama.make_rope(cfg, self.max_total_length)
         self.params = params
-        self.cache = KVCache.create(cfg, self.max_total_length)
+        if cfg.apply_sparse:
+            from ..cache.sparse_kv import SparseKVCache
+
+            self.cache = SparseKVCache.create(cfg, self.max_total_length)
+            self.max_total_length = self.cache.max_length
+        else:
+            self.cache = KVCache.create(cfg, self.max_total_length)
+        self.host_len = 0  # committed tokens, host mirror of cache.length
         self.key = jax.random.PRNGKey(eng.random_seed)
         self._last_prefill_time = 0.0
+
+    # -- sparse engagement ---------------------------------------------------
+
+    def sparse_engaged(self) -> bool:
+        """Whether InfLLM-v2 block selection is on for the next call — the
+        reference's per-step check (minicpm4_attn.cuh:116,230), evaluated
+        host-side so the flag is static under jit."""
+        cfg = self.cfg
+        if not cfg.apply_sparse:
+            return False
+        stride = 64 if cfg.use_compress_lse else 16
+        clen = max((self.host_len - stride) // stride, 0)
+        return clen * stride > cfg.sparse_switch
 
     # -- steps -------------------------------------------------------------
 
@@ -92,6 +119,7 @@ class Engine:
             self.cfg, self.params, self.rope, self.cache,
             tokens, positions, tree_mask, logits_idx,
             logits_mode=logits_mode, attn_impl=self.attn_impl,
+            sparse_select=self.sparse_engaged(),
         )
         return out
 
@@ -109,6 +137,7 @@ class Engine:
         t0 = time.time()
         if progress_callback:
             progress_callback("begin", {"total_tokens": total})
+        self.host_len = int(self.cache.length)  # resync once per prefill
         logits = None
         for i in range(0, total, C):
             n = min(total - i, C)
@@ -121,7 +150,7 @@ class Engine:
                     logits_idx=jnp.asarray(n - 1, jnp.int32),
                     logits_mode="index",
                 )
-            self.cache = self.cache.with_length(self.cache.length + n)
+            self.commit(n, max_new=C)
             if progress_callback:
                 progress_callback("advance", {"current_tokens": min(i + C, total)})
         logits.block_until_ready()
@@ -140,12 +169,16 @@ class Engine:
             logits_mode="all",
         )
 
-    def commit(self, n: int):
-        self.cache = self.cache.with_length(self.cache.length + n)
+    def commit(self, n: int, max_new: int = 0):
+        from ..cache.sparse_kv import commit_any
+
+        self.cache = commit_any(self.cache, n, max_new=max(max_new, n, 1))
+        self.host_len += n
 
     def reset(self):
         """Start a new sequence (KV content is overwritten lazily)."""
         self.cache = self.cache.with_length(0)
+        self.host_len = 0
 
     def _sample(self, logits) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
@@ -218,7 +251,9 @@ class Engine:
                     top_k=self.eng.top_k,
                     top_p=self.eng.top_p,
                     attn_impl=self.attn_impl,
+                    sparse_select=self.sparse_engaged(),
                 )
+            self.host_len += k
             toks_host = np.asarray(toks)
             dev_token = toks[-1]
             dev_pos = dev_pos + k
@@ -233,5 +268,6 @@ class Engine:
                     # roll the cache back to just after the last kept token
                     kept = pos + emitted
                     self.cache = self.cache.with_length(kept)
+                    self.host_len = kept
                     return
             token = int(toks_host[-1])

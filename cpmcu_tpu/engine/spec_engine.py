@@ -41,7 +41,7 @@ def _embed(base_cfg: ModelConfig, params, ids):
 
 def _expand_and_verify(
     base_cfg, ecfg, params, eparams, rope, cache, ekv, h_root, draft0, key,
-    *, temperature, top_k, top_p, attn_impl,
+    *, temperature, top_k, top_p, attn_impl, sparse_select=False,
 ):
     orig = cache.length
     tree_tokens, tree_pos, tree_mask, tree_parent, ekv = eagle_draft(
@@ -51,7 +51,8 @@ def _expand_and_verify(
 
     logits, cache, normed = llama.forward(
         base_cfg, params, rope, cache, tree_tokens, tree_pos, tree_mask,
-        logits_mode="all", attn_impl=attn_impl, return_hidden=True,
+        logits_mode="all", attn_impl=attn_impl, sparse_select=sparse_select,
+        return_hidden=True,
     )
     if temperature == 0.0:
         gt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -71,12 +72,18 @@ def _expand_and_verify(
         num_prev=accept_len,
         pos0=orig.astype(jnp.int32),
     )
-    return emitted, accept_len, cache, estate, key
+    # fp32 logits rows behind the emitted tokens (accepted path), for the
+    # logits-parity harness (examples/logits_comparison_direct.py analog)
+    path_logits = logits[accept_pos]
+    return emitted, accept_len, cache, estate, key, path_logits
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("base_cfg", "ecfg", "temperature", "top_k", "top_p", "attn_impl"),
+    static_argnames=(
+        "base_cfg", "ecfg", "temperature", "top_k", "top_p", "attn_impl",
+        "sparse_select",
+    ),
     donate_argnames=("cache", "ekv", "pend_embed", "pend_hidden"),
 )
 def spec_prefill_chunk(
@@ -88,6 +95,7 @@ def spec_prefill_chunk(
     chunk_tokens, positions, n_valid, logits_idx,
     pend_embed, pend_hidden, pend_valid, ehist,
     *, temperature=0.0, top_k=0, top_p=1.0, attn_impl="auto",
+    sparse_select: bool = False,
 ):
     """Base prefill chunk + lagged draft prefill of the previous chunk
     (reference prefill lag: eagle.cuh:409-427)."""
@@ -97,7 +105,7 @@ def spec_prefill_chunk(
     logits, cache, normed = llama.forward(
         base_cfg, params, rope, cache, chunk_tokens, positions,
         logits_idx=logits_idx, logits_mode="index",
-        attn_impl=attn_impl, return_hidden=True,
+        attn_impl=attn_impl, sparse_select=sparse_select, return_hidden=True,
     )
 
     # draft-prefill the pending chunk; its missing last embed row is the
@@ -119,13 +127,16 @@ def spec_prefill_chunk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("base_cfg", "ecfg", "temperature", "top_k", "top_p", "attn_impl"),
+    static_argnames=(
+        "base_cfg", "ecfg", "temperature", "top_k", "top_p", "attn_impl",
+        "sparse_select",
+    ),
     donate_argnames=("cache", "ekv", "pend_embed", "pend_hidden"),
 )
 def spec_step_first(
     base_cfg, ecfg, params, eparams, rope, cache, ekv,
     pend_embed, pend_hidden, pend_valid, ehist, draft0, key,
-    *, temperature, top_k, top_p, attn_impl,
+    *, temperature, top_k, top_p, attn_impl, sparse_select: bool = False,
 ):
     """First draft after prefill: draft-prefill the final pending chunk with
     draft0's embedding appended, then expand/verify (eagle.cuh:434-438)."""
@@ -142,17 +153,21 @@ def spec_step_first(
     return _expand_and_verify(
         base_cfg, ecfg, params, eparams, rope, cache, ekv, h_root, draft0, key,
         temperature=temperature, top_k=top_k, top_p=top_p, attn_impl=attn_impl,
+        sparse_select=sparse_select,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("base_cfg", "ecfg", "temperature", "top_k", "top_p", "attn_impl"),
+    static_argnames=(
+        "base_cfg", "ecfg", "temperature", "top_k", "top_p", "attn_impl",
+        "sparse_select",
+    ),
     donate_argnames=("cache", "estate"),
 )
 def spec_step(
     base_cfg, ecfg, params, eparams, rope, cache, estate: EagleState, draft0, key,
-    *, temperature, top_k, top_p, attn_impl,
+    *, temperature, top_k, top_p, attn_impl, sparse_select: bool = False,
 ):
     """One draft -> tree-decode -> verify round (eagle_decode path)."""
     S = ecfg.tree_size
@@ -166,6 +181,7 @@ def spec_step(
     return _expand_and_verify(
         base_cfg, ecfg, params, eparams, rope, cache, ekv, h_root, draft0, key,
         temperature=temperature, top_k=top_k, top_p=top_p, attn_impl=attn_impl,
+        sparse_select=sparse_select,
     )
 
 
@@ -215,6 +231,7 @@ class SpecEngine(Engine):
         t0 = time.time()
         if progress_callback:
             progress_callback("begin", {"total_tokens": total})
+        self.host_len = int(self.cache.length)
         logits = None
         for i in range(0, total, C):
             n = min(total - i, C)
@@ -229,10 +246,13 @@ class SpecEngine(Engine):
                     jnp.asarray(chunk), jnp.asarray(pos),
                     jnp.asarray(n, jnp.int32), jnp.asarray(n - 1, jnp.int32),
                     self.pend_embed, self.pend_hidden, self.pend_valid, self.ehist,
-                    attn_impl=self.attn_impl,
+                    attn_impl=self.attn_impl, sparse_select=self.sparse_engaged(),
                 )
             )
-            self.cache = self.cache.with_length(self.cache.length + n)
+            from ..cache.sparse_kv import commit_any
+
+            self.cache = commit_any(self.cache, n, max_new=C)
+            self.host_len += n
             if progress_callback:
                 progress_callback("advance", {"current_tokens": min(i + C, total)})
         np.asarray(logits)  # real sync (block_until_ready is unreliable here)
@@ -250,21 +270,26 @@ class SpecEngine(Engine):
             top_k=self.eng.top_k,
             top_p=self.eng.top_p,
             attn_impl=self.attn_impl,
+            sparse_select=self.sparse_engaged(),
         )
         if self.estate is None:
-            emitted, accept_len, self.cache, self.estate, self.key = spec_step_first(
+            (emitted, accept_len, self.cache, self.estate, self.key,
+             path_logits) = spec_step_first(
                 self.cfg, self.ecfg, self.params, self.eparams, self.rope,
                 self.cache, self.ekv,
                 self.pend_embed, self.pend_hidden, self.pend_valid, self.ehist,
                 jnp.asarray(draft0, jnp.int32), self.key, **kw,
             )
         else:
-            emitted, accept_len, self.cache, self.estate, self.key = spec_step(
+            (emitted, accept_len, self.cache, self.estate, self.key,
+             path_logits) = spec_step(
                 self.cfg, self.ecfg, self.params, self.eparams, self.rope,
                 self.cache, self.estate,
                 jnp.asarray(draft0, jnp.int32), self.key, **kw,
             )
         n = int(accept_len)
+        self.host_len += n
+        self.last_path_logits = np.asarray(path_logits, np.float32)[:n]
         toks = np.asarray(emitted)[:n].tolist()
         return toks, n
 

@@ -132,7 +132,10 @@ def forward_batch(cfg: ModelConfig, params: dict, tokens: jax.Array) -> jax.Arra
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "logits_mode", "window", "sink", "attn_impl", "return_hidden"),
+    static_argnames=(
+        "cfg", "logits_mode", "window", "sink", "attn_impl",
+        "sparse_select", "return_hidden",
+    ),
     donate_argnames=("cache",),
 )
 def forward(
@@ -149,6 +152,10 @@ def forward(
     window: int = 0,
     sink: int = 0,
     attn_impl: str = "auto",
+    sparse_select: bool = False,  # engage InfLLM-v2 block selection (the
+                                  # cache must be a SparseKVCache; the engine
+                                  # flips this past cfg.sparse_switch like
+                                  # the reference, minicpm4_attn.cuh:116,230)
     return_hidden: bool = False,  # also return post-final-norm hidden for
                                   # all T tokens (the EAGLE drafter input;
                                   # reference model.cuh:157 norms all tokens)
@@ -161,16 +168,24 @@ def forward(
 
     Returns (logits | hidden, new_cache, hidden_last).
     """
+    import dataclasses
+
     rope_cos, rope_sin = rope
     h = embedding(params["embed"], token_ids, cfg.scale_emb, cfg.jnp_dtype)
+    is_sparse = hasattr(cache, "c1")
 
     def body(carry, xs):
         hidden = carry
-        p, k_c, v_c = xs
+        if is_sparse:
+            p, k_c, v_c, c1_c, c2_c = xs
+        else:
+            p, k_c, v_c = xs
+            c1_c = c2_c = None
         normed = rms_norm(hidden, p["attn_norm"], cfg.rms_norm_eps)
         attn_out, k_c, v_c = attention_block(
             cfg, p, normed, positions, k_c, v_c, cache.length,
             rope_cos, rope_sin, tree_mask, window, sink, attn_impl,
+            c1=c1_c, c2=c2_c, sparse_select=sparse_select,
         )
         hidden = hidden + attn_out * jnp.asarray(cfg.scale_residual, hidden.dtype)
         normed = rms_norm(hidden, p["ffn_norm"], cfg.rms_norm_eps)
@@ -178,8 +193,15 @@ def forward(
         hidden = hidden + ffn_out * jnp.asarray(cfg.scale_residual, hidden.dtype)
         return hidden, (k_c, v_c)
 
-    h, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"], cache.k, cache.v))
-    new_cache = KVCache(new_k, new_v, cache.length)
+    if is_sparse:
+        xs = (params["layers"], cache.k, cache.v, cache.c1, cache.c2)
+    else:
+        xs = (params["layers"], cache.k, cache.v)
+    h, (new_k, new_v) = jax.lax.scan(body, h, xs)
+    if is_sparse:
+        new_cache = dataclasses.replace(cache, k=new_k, v=new_v)
+    else:
+        new_cache = KVCache(new_k, new_v, cache.length)
 
     if logits_mode == "none" and not return_hidden:
         return h, new_cache

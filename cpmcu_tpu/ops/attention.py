@@ -86,17 +86,27 @@ def mha_xla(
     scores = jnp.einsum("tkgd,ksd->kgts", qf, kf) * scale  # (KVH,G,T,S)
 
     vis = _visibility_mask(T, S, prior_len, tree_mask, window, sink)
+    vis = vis[None, None]  # (1, 1, T, S) broadcast over (KVH, G)
     if block_mask is not None:
+        # (NB,) | (T, NB) | (KVH, T, NB) boolean block masks. The mask is
+        # ANDed with the causal/tree visibility — like the reference, where
+        # only selected blocks and the local window are visited at all
+        # (flash_blockmask.h:37-98), including within the current chunk
+        # (chunk blocks are never scored/selected, so intra-chunk reach is
+        # the local window — minicpm4_attn.cuh:143-170 out_len covers
+        # history only).
         nb = block_mask.shape[-1]
         block_size = S // nb
-        bm = block_mask.astype(jnp.bool_)
+        bm = jnp.repeat(block_mask.astype(jnp.bool_), block_size, axis=-1)
         if bm.ndim == 1:
-            bm = jnp.repeat(bm, block_size)[None, :]  # (1, S)
-        else:
-            bm = jnp.repeat(bm, block_size, axis=-1)  # (T, S)
+            bm = bm[None, None, None, :]
+        elif bm.ndim == 2:
+            bm = bm[None, None, :, :]
+        else:  # (KVH, T, S)
+            bm = bm[:, None, :, :]
         vis = vis & bm
 
-    scores = jnp.where(vis[None, None], scores, NEG_INF)
+    scores = jnp.where(vis, scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)

@@ -57,8 +57,14 @@ def verify_tree(
     return accept_len.astype(jnp.int32), accept_pos, emitted
 
 
-def fix_kv(cache: KVCache, accept_pos, accept_len, prior) -> KVCache:
+def fix_kv(cache, accept_pos, accept_len, prior):
     """Move the accepted nodes' KV rows (prior + accept_pos[j]) to
     (prior + j) across all layers and set length = prior + accept_len
-    (tree_drafter.cuh:48-101)."""
-    return compact(cache, accept_pos, accept_len, jnp.asarray(prior, jnp.int32))
+    (tree_drafter.cuh:48-101). Sparse caches also advance their compressed
+    mirrors over the newly committed span."""
+    prior = jnp.asarray(prior, jnp.int32)
+    if hasattr(cache, "c1"):
+        from ..cache.sparse_kv import compact_sparse
+
+        return compact_sparse(cache, accept_pos, accept_len, prior)
+    return compact(cache, accept_pos, accept_len, prior)

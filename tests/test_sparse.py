@@ -1,0 +1,371 @@
+"""InfLLM-v2 sparse attention: compression, stage-1 scoring, block selection,
+and end-to-end sparse generation (reference §2.5 semantics)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cpmcu_tpu.core.config import EngineConfig, ModelConfig, RopeConfig
+from cpmcu_tpu.ops import sparse as sp
+
+
+# ---------------------------------------------------------------------------
+# compression
+# ---------------------------------------------------------------------------
+
+
+def _np_pool(k, clen, stride):
+    """Reference pooling: row j = mean(k[j*stride : j*stride + 2*stride])."""
+    out = np.stack(
+        [k[:, j * stride : j * stride + 2 * stride].mean(axis=1) for j in range(clen)],
+        axis=1,
+    ) if clen else np.zeros((k.shape[0], 0, k.shape[2]), k.dtype)
+    return out
+
+
+@pytest.mark.parametrize("stride", [16, 64])
+def test_compress_matches_numpy(stride):
+    rng = np.random.default_rng(0)
+    KVH, S, D = 2, 512, 16
+    k = rng.normal(size=(KVH, S, D)).astype(np.float32)
+    c = jnp.zeros((KVH, S // stride, D), jnp.float32)
+
+    # incremental commits: 0 -> 100 -> 230 -> 512
+    prev = 0
+    for new in (100, 230, 512):
+        old_c = int(sp.c_len_of(prev, stride))
+        new_c = int(sp.c_len_of(new, stride))
+        c = sp.compress_incremental(
+            jnp.asarray(k), c, old_c, new_c, stride=stride,
+            max_new=(new - prev) // stride + 1,
+        )
+        prev = new
+
+    clen = int(sp.c_len_of(512, stride))
+    want = _np_pool(k, clen, stride)
+    np.testing.assert_allclose(np.asarray(c)[:, :clen], want, rtol=1e-5, atol=1e-5)
+
+
+def test_c_len_semantics():
+    # a compressed row exists only once its full window is committed
+    assert int(sp.c_len_of(0, 16)) == 0
+    assert int(sp.c_len_of(31, 16)) == 0
+    assert int(sp.c_len_of(32, 16)) == 1
+    assert int(sp.c_len_of(47, 16)) == 1
+    assert int(sp.c_len_of(48, 16)) == 2
+    assert int(sp.c_len_of(128, 64)) == 1
+
+
+# ---------------------------------------------------------------------------
+# stage-1 scores
+# ---------------------------------------------------------------------------
+
+
+def test_stage1_scores_vs_naive():
+    rng = np.random.default_rng(1)
+    T, H, KVH, D = 5, 4, 2, 8
+    S1, S2 = 32, 8
+    c1_len, c2_len = 25, 6
+    q = rng.normal(size=(T, H, D)).astype(np.float32)
+    c1 = rng.normal(size=(KVH, S1, D)).astype(np.float32)
+    c2 = rng.normal(size=(KVH, S2, D)).astype(np.float32)
+    scale = 1.0 / np.sqrt(D)
+
+    for use_lse in (False, True):
+        got = np.asarray(
+            sp.stage1_scores(
+                jnp.asarray(q), jnp.asarray(c1), jnp.asarray(c2),
+                c1_len, c2_len, use_lse=use_lse, bt=4,
+            )
+        )
+        G = H // KVH
+        want = np.zeros((KVH, T, S1), np.float32)
+        for g in range(KVH):
+            for t in range(T):
+                for h in range(G):
+                    qh = q[t, g * G + h]
+                    s1 = (c1[g, :c1_len] @ qh) * scale
+                    ref = (c2[g, :c2_len] @ qh) * scale if use_lse else s1
+                    m = ref.max()
+                    lse = m + np.log(np.exp(ref - m).sum())
+                    want[g, t, :c1_len] += np.exp(s1 - lse)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        # masked region is exactly zero (maxpool relies on it)
+        assert np.all(got[:, :, c1_len:] == 0.0)
+
+
+# ---------------------------------------------------------------------------
+# block selection
+# ---------------------------------------------------------------------------
+
+
+def test_select_blocks_forcing_and_topk():
+    KVH, T, S1 = 1, 2, 64  # NB = 16 blocks
+    NB = S1 // 4
+    rng = np.random.default_rng(2)
+    p = rng.uniform(0.0, 1.0, size=(KVH, T, S1)).astype(np.float32)
+    history = 1024  # all 16 blocks scored
+    positions = np.array([1024, 1025], np.int32)  # q_block = 16
+
+    idx, keep, pooled = sp.select_blocks(
+        jnp.asarray(p), jnp.asarray(positions), history,
+        topk=4, init_blocks=1, local_blocks=8,
+    )
+    bits = np.asarray(sp.bits_from_topk(idx, keep, NB))
+    pooled = np.asarray(pooled)
+
+    # naive pooling: block b = max over c1 idx [4b-1, 4b+4)
+    want_pool = np.full((KVH, T, NB), -np.inf, np.float32)
+    for b in range(NB):
+        lo, hi = max(4 * b - 1, 0), min(4 * b + 4, S1)
+        want_pool[..., b] = p[..., lo:hi].max(-1)
+    q_block = positions // 64
+    for t in range(T):
+        for b in range(NB):
+            if b < 1:
+                want_pool[:, t, b] = np.inf
+            elif b > q_block[t] - 8:
+                want_pool[:, t, b] = -np.inf
+    sel = np.argsort(-want_pool, axis=-1, kind="stable")[..., :4]
+    want_bits = np.zeros((KVH, T, NB), bool)
+    for g in range(KVH):
+        for t in range(T):
+            for b in sel[g, t]:
+                if want_pool[g, t, b] > -1e29:
+                    want_bits[g, t, b] = True
+
+    assert bits.sum(-1).max() <= 4
+    np.testing.assert_array_equal(bits, want_bits)
+    # sink block always selected; local/future blocks never
+    assert bits[..., 0].all()
+    assert not bits[..., 9:].any()  # blocks > 16-8=8 are forced out
+
+
+def test_block_visibility_window():
+    KVH, T, NB = 1, 1, 16
+    bits = np.zeros((KVH, T, NB), bool)
+    bits[0, 0, 2] = True
+    vis = np.asarray(
+        sp.block_visibility(jnp.asarray(bits), jnp.asarray([640]), local_blocks=8)
+    )
+    # q_block = 10: window grants blocks 3..15 (b > 10-8), plus selected 2
+    want = np.zeros((KVH, T, NB), bool)
+    want[0, 0, 2] = True
+    want[0, 0, 3:] = True
+    np.testing.assert_array_equal(vis, want)
+
+
+# ---------------------------------------------------------------------------
+# Pallas block-sparse kernel vs XLA oracle
+# ---------------------------------------------------------------------------
+
+
+def _rand_selection(rng, KVH, T, NB, k):
+    idx = np.stack(
+        [rng.choice(NB, size=k, replace=False) for _ in range(KVH * T)]
+    ).reshape(KVH, T, k).astype(np.int32)
+    valid = rng.uniform(size=(KVH, T, k)) > 0.2
+    return idx, valid
+
+
+@pytest.mark.parametrize("T,include_new", [(1, True), (7, True), (64, True), (16, False)])
+def test_sparse_kernel_matches_oracle(T, include_new):
+    from cpmcu_tpu.ops.attention import mha_xla
+    from cpmcu_tpu.ops.sparse_flash import sparse_flash_mha
+
+    rng = np.random.default_rng(7)
+    H, KVH, D = 8, 2, 32
+    S = 1024
+    NB = S // 64
+    prior = 700
+    local = 3
+
+    q = rng.normal(size=(T, H, D)).astype(np.float32)
+    kc = rng.normal(size=(KVH, S, D)).astype(np.float32)
+    vc = rng.normal(size=(KVH, S, D)).astype(np.float32)
+    positions = np.arange(prior, prior + T, dtype=np.int32)
+    idx, valid = _rand_selection(rng, KVH, T, NB, 4)
+
+    got = sparse_flash_mha(
+        jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc), prior,
+        jnp.asarray(idx), jnp.asarray(valid), jnp.asarray(positions),
+        include_new=include_new, local_blocks=local, interpret=True,
+        return_lse=not include_new,
+    )
+    if not include_new:
+        got, _ = got
+
+    bits = sp.bits_from_topk(jnp.asarray(idx), jnp.asarray(valid), NB)
+    bm = sp.block_visibility(bits, jnp.asarray(positions), local_blocks=local)
+    # an all-False tree mask hides the new rows -> history-only oracle
+    tm = None if include_new else jnp.zeros((T, T), jnp.bool_)
+    want = mha_xla(jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc),
+                   prior, tm, bm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sparse_attention_block_flash_vs_xla():
+    """Full sparse attention-block path: Pallas (interpret) == XLA oracle."""
+    from cpmcu_tpu.cache.sparse_kv import SparseKVCache, commit_jit
+    from cpmcu_tpu.models import llama
+
+    cfg = _sparse_cfg(sparse_topk_k=3, block_window_size=2, sparse_switch=0)
+    params = llama.init_params(cfg, jax.random.PRNGKey(2))
+    budget = 512
+    rope = llama.make_rope(cfg, budget)
+    rng = np.random.default_rng(8)
+    toks = jnp.asarray(rng.integers(0, 128, size=300), jnp.int32)
+    pos = jnp.arange(300, dtype=jnp.int32)
+
+    outs = {}
+    for impl in ("xla", "flash"):
+        cache = SparseKVCache.create(cfg, budget)
+        _, cache = llama.forward(cfg, params, rope, cache, toks, pos,
+                                 logits_mode="none", attn_impl=impl,
+                                 sparse_select=True)
+        cache = commit_jit(cache, 300, max_new=512)
+        tok = jnp.asarray([5], jnp.int32)
+        p1 = jnp.asarray([300], jnp.int32)
+        logits, _ = llama.forward(cfg, params, rope, cache, tok, p1,
+                                  logits_mode="all", attn_impl=impl,
+                                  sparse_select=True)
+        outs[impl] = np.asarray(logits)
+    np.testing.assert_allclose(outs["xla"], outs["flash"], rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end
+# ---------------------------------------------------------------------------
+
+
+def _sparse_cfg(**kw):
+    base = dict(
+        vocab_size=128,
+        num_layers=2,
+        hidden_size=32,
+        intermediate_size=64,
+        num_heads=4,
+        num_kv_heads=2,
+        head_dim=8,
+        rope=RopeConfig(),
+        dtype="float32",
+        apply_sparse=True,
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def test_sparse_forward_full_topk_matches_dense():
+    """With top-k covering every block and history shorter than the local
+    window, sparse visibility == dense causal -> logits must match."""
+    from cpmcu_tpu.cache.kv import KVCache
+    from cpmcu_tpu.cache.sparse_kv import SparseKVCache, commit_jit
+    from cpmcu_tpu.models import llama
+
+    cfg_d = _sparse_cfg(apply_sparse=False)
+    cfg_s = _sparse_cfg(sparse_topk_k=64, block_window_size=64, sparse_switch=0)
+    params = llama.init_params(cfg_d, jax.random.PRNGKey(0))
+    budget = 512
+    rope = llama.make_rope(cfg_d, budget)
+
+    dense = KVCache.create(cfg_d, budget)
+    sparse = SparseKVCache.create(cfg_s, budget)
+
+    rng = np.random.default_rng(3)
+    toks = jnp.asarray(rng.integers(0, 128, size=200), jnp.int32)
+
+    # prefill 200 tokens in one chunk, then compare one decode step
+    pos = jnp.arange(200, dtype=jnp.int32)
+    _, dense = llama.forward(cfg_d, params, rope, dense, toks, pos,
+                             logits_mode="none", attn_impl="xla")
+    dense = dense.with_length(200)
+    _, sparse = llama.forward(cfg_s, params, rope, sparse, toks, pos,
+                              logits_mode="none", attn_impl="xla")
+    sparse = commit_jit(sparse, 200, max_new=256)
+    assert int(sparse.length) == 200
+
+    tok = jnp.asarray([7], jnp.int32)
+    p1 = jnp.asarray([200], jnp.int32)
+    ld, _ = llama.forward(cfg_d, params, rope, dense, tok, p1,
+                          logits_mode="all", attn_impl="xla")
+    ls, _ = llama.forward(cfg_s, params, rope, sparse, tok, p1,
+                          logits_mode="all", attn_impl="xla", sparse_select=True)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(ls), rtol=2e-4, atol=2e-4)
+
+
+def test_sparse_engine_generates():
+    from cpmcu_tpu.engine.engine import Engine
+    from cpmcu_tpu.models import llama
+
+    cfg = _sparse_cfg(sparse_topk_k=2, block_window_size=2, sparse_switch=64)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    eng = EngineConfig(chunk_length=64, max_total_length=512, decode_segment_size=4)
+    engine = Engine(cfg, eng, params, attn_impl="xla")
+
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(0, 128, size=200).tolist()
+    assert not engine.sparse_engaged()
+    tokens, _, _ = engine.generate(prompt, generation_length=12)
+    assert len(tokens) == 12
+    assert engine.sparse_engaged()  # long history -> selection active
+    assert int(engine.cache.length) >= 200 + 11
+
+
+def test_sparse_spec_engine_generates():
+    import dataclasses
+
+    from cpmcu_tpu.engine.spec_engine import SpecEngine
+    from cpmcu_tpu.models import llama
+    from cpmcu_tpu.spec.eagle import EagleConfig, init_eagle_params
+
+    cfg = _sparse_cfg(sparse_topk_k=2, block_window_size=2, sparse_switch=64)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    draft = dataclasses.replace(cfg, num_layers=1, apply_sparse=False)
+    ecfg = EagleConfig(model=draft, num_iter=2, topk_per_iter=3, tree_size=6,
+                       window=64)
+    eparams = init_eagle_params(ecfg, jax.random.PRNGKey(1))
+    eng = EngineConfig(chunk_length=64, max_total_length=512)
+    engine = SpecEngine(cfg, ecfg, eng, params, eparams, attn_impl="xla")
+
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, 128, size=150).tolist()
+    tokens, _, _ = engine.generate(prompt, generation_length=10)
+    assert len(tokens) == 10
+    assert engine.mean_accept_length() >= 1.0
+
+
+def test_sparse_spec_matches_plain_decode():
+    """First tokens of greedy sparse spec == greedy sparse non-spec.
+
+    Only the prefix is guaranteed: block selection inside a spec round is
+    computed with the pre-round history (the reference's tree decode also
+    scores against next_kv_length = orig, minicpm4_attn.cuh:227-265), so
+    deeper accepted tokens may legitimately diverge from step-by-step decode
+    once selection lag changes a top-k set."""
+    import dataclasses
+
+    from cpmcu_tpu.engine.engine import Engine
+    from cpmcu_tpu.engine.spec_engine import SpecEngine
+    from cpmcu_tpu.models import llama
+    from cpmcu_tpu.spec.eagle import EagleConfig, init_eagle_params
+
+    cfg = _sparse_cfg(sparse_topk_k=3, block_window_size=2, sparse_switch=64)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    eng = EngineConfig(chunk_length=64, max_total_length=512)
+
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(0, 128, size=150).tolist()
+
+    plain = Engine(cfg, eng, params, attn_impl="xla")
+    want, _, _ = plain.generate(prompt, generation_length=10)
+
+    draft = dataclasses.replace(cfg, num_layers=1, apply_sparse=False)
+    ecfg = EagleConfig(model=draft, num_iter=2, topk_per_iter=3, tree_size=6,
+                       window=64)
+    eparams = init_eagle_params(ecfg, jax.random.PRNGKey(1))
+    spec = SpecEngine(cfg, ecfg, eng, params, eparams, attn_impl="xla")
+    got, _, _ = spec.generate(prompt, generation_length=10)
+    assert got[:2] == want[:2]
