@@ -1,0 +1,176 @@
+"""Dataset benchmarking: jsonl loaders, per-question timing, result saving.
+
+Parity with the reference (cpmcu/common/benchmark.py:16-190): the same seven
+jsonl datasets (mtbench/specbench/gsm8k/qa/wmt14/rag/summarization), the same
+per-question stats (prefill/decode tok/s, accept length) and summary
+aggregation (incl. ``mean_accept_length``), saved as timestamped json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+from .logging import logger
+
+DATASETS = ("mtbench", "specbench", "gsm8k", "qa", "wmt14", "rag", "summarization")
+
+
+def load_questions(filename: str) -> List[Dict[str, Any]]:
+    out = []
+    with open(filename, encoding="utf-8") as f:
+        for line in f:
+            if line.strip():
+                out.append(json.loads(line))
+    return out
+
+
+def load_dataset(
+    dataset_type: str, dataset_path: Optional[str] = None
+) -> Tuple[List[Dict[str, Any]], int]:
+    """Normalize a dataset into {'id', 'question', 'category', 'turns'} rows
+    (multi-turn preserved for mtbench/specbench; reference lines 26-108)."""
+    if dataset_type not in DATASETS:
+        raise ValueError(
+            f"Unsupported dataset type: {dataset_type}. Supported: {DATASETS}"
+        )
+    dataset_file = dataset_path or os.path.join(
+        "benchmark", "datasets", f"{dataset_type}.jsonl"
+    )
+    if not os.path.exists(dataset_file):
+        raise FileNotFoundError(f"Dataset file not found: {dataset_file}")
+
+    questions = []
+    for data in load_questions(dataset_file):
+        turns = data.get("turns") or []
+        text = turns[0] if turns else (
+            data.get("question") or data.get("prompt") or data.get("text") or ""
+        )
+        if not text:
+            continue
+        q = {
+            "id": data.get("question_id", data.get("id", len(questions))),
+            "question": text,
+            "category": data.get("category", "general"),
+            "turns": turns if turns else [text],
+        }
+        if dataset_type == "gsm8k":
+            q["reference"] = data.get("reference", [])
+        questions.append(q)
+    logger.info(
+        f"Loaded {len(questions)} questions from {dataset_file} ({dataset_type})"
+    )
+    return questions, len(questions)
+
+
+def run_dataset_evaluation(
+    engine,
+    tokenizer,
+    questions: List[Dict[str, Any]],
+    *,
+    generation_length: int = 256,
+    num_samples: int = 0,
+    use_chat_template: bool = True,
+    progress_callback=None,
+) -> List[Dict[str, Any]]:
+    """Multi-turn evaluation loop (cpmcu/cli.py:436-567 analog)."""
+    if num_samples:
+        questions = questions[:num_samples]
+    terminators = [tokenizer.eos_token_id] if tokenizer.eos_token_id else []
+
+    results = []
+    for qi, q in enumerate(questions):
+        engine.reset()
+        history: List[Dict[str, str]] = []
+        turn_stats = []
+        answers = []
+        for turn in q["turns"]:
+            history.append({"role": "user", "content": turn})
+            if use_chat_template and getattr(tokenizer, "chat_template", None):
+                ids = tokenizer.apply_chat_template(
+                    history, add_generation_prompt=True, tokenize=True
+                )
+            else:
+                ids = tokenizer.encode("\n".join(m["content"] for m in history))
+            t0 = time.time()
+            tokens, decode_time, prefill_time = engine.generate(
+                ids, generation_length=generation_length, terminators=terminators
+            )
+            total = time.time() - t0
+            text = tokenizer.decode(tokens, skip_special_tokens=True)
+            history.append({"role": "assistant", "content": text})
+            answers.append(text)
+            stats = {
+                "prompt_tokens": len(ids),
+                "decode_tokens": len(tokens),
+                "prefill_time": prefill_time,
+                "decode_time": decode_time,
+                "total_time": total,
+                "prefill_tok_s": len(ids) / max(prefill_time, 1e-9),
+                "decode_tok_s": len(tokens) / max(decode_time, 1e-9),
+            }
+            if hasattr(engine, "mean_accept_length"):
+                stats["accept_length"] = engine.mean_accept_length()
+            turn_stats.append(stats)
+        results.append({
+            "question_id": q["id"],
+            "category": q["category"],
+            "answers": answers,
+            "turns": turn_stats,
+        })
+        if progress_callback:
+            progress_callback(qi + 1, len(questions))
+        logger.info(
+            f"[{qi + 1}/{len(questions)}] decode "
+            f"{turn_stats[-1]['decode_tok_s']:.1f} tok/s"
+        )
+    return results
+
+
+def summarize_results(results: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Aggregate stats incl. mean_accept_length (benchmark.py:113-178)."""
+    turns = [t for r in results for t in r["turns"]]
+    if not turns:
+        return {}
+
+    def mean(key):
+        vals = [t[key] for t in turns if key in t]
+        return sum(vals) / len(vals) if vals else 0.0
+
+    summary = {
+        "num_questions": len(results),
+        "num_turns": len(turns),
+        "mean_prefill_tok_s": mean("prefill_tok_s"),
+        "mean_decode_tok_s": mean("decode_tok_s"),
+        "total_decode_tokens": sum(t.get("decode_tokens", 0) for t in turns),
+        "total_time": sum(t.get("total_time", 0.0) for t in turns),
+    }
+    accepts = [t["accept_length"] for t in turns if t.get("accept_length")]
+    if accepts:
+        summary["mean_accept_length"] = sum(accepts) / len(accepts)
+    return summary
+
+
+def save_results(
+    results: List[Dict[str, Any]],
+    output_dir: str,
+    dataset_type: str,
+    model_name: str,
+) -> str:
+    os.makedirs(output_dir, exist_ok=True)
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    safe = model_name.replace("/", "_").replace("\\", "_")
+    path = os.path.join(output_dir, f"{dataset_type}_{safe}_{stamp}.json")
+    payload = {
+        "dataset": dataset_type,
+        "model": model_name,
+        "timestamp": stamp,
+        "summary": summarize_results(results),
+        "results": results,
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(payload, f, ensure_ascii=False, indent=2)
+    logger.success(f"results saved to {path}")
+    return path

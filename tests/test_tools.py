@@ -1,0 +1,118 @@
+"""Tooling: logits-parity harness, FR-index generator, results analyzer."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from cpmcu_tpu.core.config import EngineConfig, ModelConfig, RopeConfig
+from cpmcu_tpu.engine.engine import Engine
+from cpmcu_tpu.models import llama
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = ModelConfig(
+        vocab_size=128, num_layers=2, hidden_size=32, intermediate_size=64,
+        num_heads=4, num_kv_heads=2, head_dim=8, rope=RopeConfig(),
+        dtype="float32",
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def test_logits_parity_identical_engines(tiny):
+    from cpmcu_tpu.tools.logits_parity import capture_logits, compare_captures
+
+    cfg, params = tiny
+    eng = EngineConfig(chunk_length=8, max_total_length=128)
+    prompts = [[1, 2, 3], [9, 8, 7, 6]]
+    cap_a = capture_logits(Engine(cfg, eng, params, attn_impl="xla"),
+                           prompts, generation_length=6)
+    cap_b = capture_logits(Engine(cfg, eng, params, attn_impl="xla"),
+                           prompts, generation_length=6)
+    rep = compare_captures(cap_a, cap_b)
+    assert rep["min_token_agreement"] == 1.0
+    assert rep["max_abs_diff"] == 0.0
+
+
+def test_logits_parity_spec_vs_plain(tiny):
+    """The reference's core oracle: spec and non-spec produce the same
+    accepted-token logits under greedy decoding."""
+    import dataclasses
+
+    from cpmcu_tpu.engine.spec_engine import SpecEngine
+    from cpmcu_tpu.spec.eagle import EagleConfig, init_eagle_params
+    from cpmcu_tpu.tools.logits_parity import capture_logits, compare_captures
+
+    cfg, params = tiny
+    eng = EngineConfig(chunk_length=8, max_total_length=128)
+    prompts = [[1, 2, 3, 4, 5]]
+
+    plain = capture_logits(Engine(cfg, eng, params, attn_impl="xla"),
+                           prompts, generation_length=8)
+
+    draft = dataclasses.replace(cfg, num_layers=1)
+    ecfg = EagleConfig(model=draft, num_iter=2, topk_per_iter=3, tree_size=6)
+    eparams = init_eagle_params(ecfg, jax.random.PRNGKey(1))
+    spec_engine = SpecEngine(cfg, ecfg, eng, params, eparams, attn_impl="xla")
+    spec = capture_logits(spec_engine, prompts, generation_length=8)
+
+    rep = compare_captures(plain, spec)
+    assert rep["min_token_agreement"] == 1.0
+    assert rep["max_abs_diff"] < 2e-4  # fp32 accumulation-order noise only
+
+
+def test_fr_index_generator(tmp_path):
+    from cpmcu_tpu.tools.gen_fr_index import generate_fr_index
+
+    class Tok:
+        vocab_size = 50
+        eos_token_id = 2
+
+        def encode(self, text):
+            return [ord(c) % 50 for c in text]
+
+    paths = generate_fr_index(
+        Tok(), ["aaabbbccc", "aaa", "zzz"], sizes=[8, 16],
+        output_dir=str(tmp_path),
+    )
+    top8 = np.load(paths[8])
+    assert len(top8) == 8
+    assert top8[0] == 2  # EOS forced first
+    # 'a' (97 % 50 = 47) is the most frequent real token
+    assert top8[1] == 47
+
+
+def test_analyzer(tmp_path):
+    from cpmcu_tpu.tools.analyze_performance import (
+        aggregate, extract_rows, load_result_files,
+    )
+
+    run = {
+        "dataset": "mtbench", "model": "m",
+        "results": [{
+            "question_id": 1,
+            "turns": [{"prefill_tok_s": 100.0, "decode_tok_s": 50.0,
+                       "accept_length": 2.5, "decode_tokens": 32}],
+        }],
+    }
+    p = tmp_path / "r.json"
+    with open(p, "w") as f:
+        json.dump(run, f)
+    rows = extract_rows(load_result_files([str(p)]))
+    assert rows[0]["decode_tok_s"] == 50.0
+    agg = aggregate(rows)
+    assert agg[0]["mean_accept_length"] == 2.5
+
+
+def test_long_prompt_gen(tmp_path):
+    from cpmcu_tpu.tools.long_prompt_gen import build_prompt
+
+    (tmp_path / "a.py").write_text("print('hello world')\n" * 50)
+    (tmp_path / "b.md").write_text("# doc\n" * 50)
+    prompt = build_prompt(str(tmp_path), target_chars=500)
+    assert "FILE: a.py" in prompt
+    assert prompt.endswith("summarize the repository above.")
