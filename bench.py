@@ -1,18 +1,34 @@
 """Benchmark driver — prints ONE JSON line with the headline metric.
 
-Round-1 flagship: MiniCPM4-0.5B bf16 dense, greedy decode tok/s on one chip
-(synthetic weights; no checkpoint is mounted in this image). The reference
-headline (BASELINE.md) is 154.59 decode tok/s for MiniCPM4-8B W4A16 +
-EAGLE/FR-Spec on an A100 — vs_baseline is reported against that number and
-will become apples-to-apples when the W4A16 + spec stack lands in the bench.
+Default: MiniCPM4-8B W4A16 dense decode tok/s on one chip (synthetic
+weights; no checkpoint is mounted in this image) — the closest apples-to-
+apples single-chip config to the reference headline (BASELINE.md: 154.59
+decode tok/s for 8B W4A16 + EAGLE/FR-Spec on an A100; spec accept length
+with random weights is ~1, so spec modes here measure round overhead).
+
+Modes: --quant, --spec [--spec-type eagle2|chain], --sparse --prompt-len N
+(long-context InfLLM-v2), --batch N (continuous batching aggregate tok/s).
 """
 
 import argparse
+import dataclasses
 import json
-import sys
 import time
 
 import numpy as np
+
+BASELINE_DECODE = 154.59  # reference decode tok/s (BASELINE.md)
+BASELINE_PREFILL = 6530.77  # reference prefill tok/s (BASELINE.md)
+
+
+def make_params(cfg, key):
+    from cpmcu_tpu.models import llama
+
+    if cfg.quant:
+        from cpmcu_tpu.models.quantize import init_params_quant
+
+        return init_params_quant(cfg, key)
+    return llama.init_params(cfg, key)
 
 
 def bench_decode(cfg, eng, steps=64, warmup=8, prompt_len=128):
@@ -20,26 +36,21 @@ def bench_decode(cfg, eng, steps=64, warmup=8, prompt_len=128):
     import jax.numpy as jnp
 
     from cpmcu_tpu.engine.engine import Engine, decode_segment
-    from cpmcu_tpu.models import llama
 
-    if cfg.quant:
-        from cpmcu_tpu.models.quantize import init_params_quant
-
-        params = init_params_quant(cfg, jax.random.PRNGKey(0))
-    else:
-        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    params = make_params(cfg, jax.random.PRNGKey(0))
     engine = Engine(cfg, eng, params)
 
     rng = np.random.default_rng(0)
     ids = rng.integers(0, cfg.vocab_size, size=prompt_len).tolist()
 
     engine.prefill(ids)  # includes compile
+    engine.reset()
     t0 = time.time()
-    engine.cache = engine.cache.with_length(0)
     engine.prefill(ids)
     prefill_time = time.time() - t0
 
     seg = engine.eng.decode_segment_size
+    sparse = engine.sparse_engaged()
 
     def run_segments(n):
         tok = jnp.asarray(1, jnp.int32)
@@ -49,15 +60,14 @@ def bench_decode(cfg, eng, steps=64, warmup=8, prompt_len=128):
             engine.cache, toks, engine.key = decode_segment(
                 cfg, params, engine.rope, engine.cache, tok, pos, engine.key,
                 k=seg, temperature=0.0, top_k=0, top_p=1.0,
-                attn_impl=engine.attn_impl,
+                attn_impl=engine.attn_impl, sparse_select=sparse,
             )
             tok = toks[-1]
             pos = pos + seg
             done += seg
-        toks.block_until_ready()
+        np.asarray(toks)  # real sync (tunnel block_until_ready lies)
 
     run_segments(warmup)  # compile
-    start_len = int(engine.cache.length)
     t0 = time.time()
     run_segments(steps)
     decode_time = time.time() - t0
@@ -65,96 +75,136 @@ def bench_decode(cfg, eng, steps=64, warmup=8, prompt_len=128):
     return {
         "decode_tok_s": steps_done / decode_time,
         "prefill_tok_s": prompt_len / prefill_time,
-        "end_len": int(engine.cache.length) - start_len,
     }
 
 
-def bench_spec(cfg, eng, steps=128, prompt_len=128):
+def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2"):
     """Spec-mode throughput. With random weights the drafter is uninformed
     (accept ~1) — this measures per-round overhead, a lower bound; real
     checkpoints reach ~2.5 accept (BASELINE.md)."""
-    import dataclasses
-
     import jax
 
-    from cpmcu_tpu.engine.spec_engine import SpecEngine
     from cpmcu_tpu.models import llama
-    from cpmcu_tpu.models.quantize import init_params_quant
-    from cpmcu_tpu.spec.eagle import EagleConfig, init_eagle_params
 
-    draft_cfg = dataclasses.replace(
-        cfg, num_layers=1, quant=False, intermediate_size=cfg.intermediate_size
-    )
-    ecfg = EagleConfig(
-        model=draft_cfg, num_iter=2, topk_per_iter=10, tree_size=12,
-        window=1024, use_input_norm=True, use_attn_norm=True,
-    )
-    if cfg.quant:
-        params = init_params_quant(cfg, jax.random.PRNGKey(0))
+    params = make_params(cfg, jax.random.PRNGKey(0))
+    if spec_type == "chain":
+        from cpmcu_tpu.engine.chain_engine import ChainSpecEngine
+
+        draft_cfg = dataclasses.replace(
+            cfg, num_layers=max(2, cfg.num_layers // 8), quant=False
+        )
+        dparams = llama.init_params(draft_cfg, jax.random.PRNGKey(1))
+        engine = ChainSpecEngine(cfg, draft_cfg, eng, params, dparams)
     else:
-        params = llama.init_params(cfg, jax.random.PRNGKey(0))
-    eparams = init_eagle_params(ecfg, jax.random.PRNGKey(1))
-    engine = SpecEngine(cfg, ecfg, eng, params, eparams)
+        from cpmcu_tpu.engine.spec_engine import SpecEngine
+        from cpmcu_tpu.spec.eagle import EagleConfig, init_eagle_params
+
+        draft_cfg = dataclasses.replace(cfg, num_layers=1, quant=False)
+        ecfg = EagleConfig(
+            model=draft_cfg, num_iter=2, topk_per_iter=10, tree_size=12,
+            window=1024, use_input_norm=True, use_attn_norm=True,
+        )
+        eparams = init_eagle_params(ecfg, jax.random.PRNGKey(1))
+        engine = SpecEngine(cfg, ecfg, eng, params, eparams)
 
     rng = np.random.default_rng(0)
     ids = rng.integers(0, cfg.vocab_size, size=prompt_len).tolist()
-    # warmup/compile
-    engine.generate(ids, generation_length=8)
+    engine.generate(ids, generation_length=8)  # warmup/compile
 
     engine.reset()
-    t0 = time.time()
     toks, decode_time, prefill_time = engine.generate(ids, generation_length=steps)
-    total = time.time() - t0
     n = len(toks)
     return {
         "decode_tok_s": (n - 1) / max(decode_time, 1e-9),
         "prefill_tok_s": prompt_len / max(prefill_time, 1e-9),
         "mean_accept": engine.mean_accept_length(),
-        "n_tokens": n,
     }
+
+
+def bench_sparse(cfg, eng, steps=64, prompt_len=32768):
+    """Long-context InfLLM-v2: chunked sparse prefill + sparse decode."""
+    cfg = dataclasses.replace(cfg, apply_sparse=True)
+    return bench_decode(cfg, eng, steps=steps, warmup=8, prompt_len=prompt_len)
+
+
+def bench_batch(cfg, eng, steps=64, prompt_len=128, batch=8):
+    """Continuous batching aggregate throughput (no reference counterpart)."""
+    import jax
+
+    from cpmcu_tpu.engine.batch_engine import ContinuousBatchingEngine
+
+    params = make_params(cfg, jax.random.PRNGKey(0))
+    be = ContinuousBatchingEngine(cfg, eng, params, max_batch=batch)
+    rng = np.random.default_rng(0)
+
+    def submit_all():
+        return [
+            be.submit(rng.integers(0, cfg.vocab_size, size=prompt_len).tolist(),
+                      max_new_tokens=steps)
+            for _ in range(batch)
+        ]
+
+    submit_all()
+    be.run()  # warmup/compile
+    ids = submit_all()
+    t0 = time.time()
+    out = be.run()
+    dt = time.time() - t0
+    total = sum(len(out[r]) for r in ids)
+    return {"decode_tok_s": total / dt, "prefill_tok_s": 0.0, "batch": batch}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--config", default="minicpm4-0.5b", choices=["minicpm4-0.5b", "minicpm4-8b"]
+        "--config", default="minicpm4-8b", choices=["minicpm4-0.5b", "minicpm4-8b"]
     )
-    ap.add_argument("--quant", action="store_true", help="W4A16 weights")
-    ap.add_argument("--spec", action="store_true", help="EAGLE tree speculation")
+    ap.add_argument("--quant", dest="quant", action="store_true", default=True,
+                    help="W4A16 weights (default for the 8B headline)")
+    ap.add_argument("--no-quant", dest="quant", action="store_false")
+    ap.add_argument("--spec", action="store_true", help="speculative decoding")
+    ap.add_argument("--spec-type", default="eagle2", choices=["eagle2", "chain"])
+    ap.add_argument("--sparse", action="store_true", help="InfLLM-v2 long context")
+    ap.add_argument("--batch", type=int, default=0, help="continuous batching slots")
     ap.add_argument("--steps", type=int, default=64)
-    ap.add_argument("--max-len", type=int, default=2048)
+    ap.add_argument("--prompt-len", type=int, default=128)
+    ap.add_argument("--max-len", type=int, default=0, help="0 = solve from HBM")
     args = ap.parse_args()
-
-    import dataclasses
 
     from cpmcu_tpu.core.config import MINICPM4_0_5B, MINICPM4_8B, EngineConfig
 
     cfg = {"minicpm4-0.5b": MINICPM4_0_5B, "minicpm4-8b": MINICPM4_8B}[args.config]
     if args.quant:
         cfg = dataclasses.replace(cfg, quant=True)
-    eng = EngineConfig(chunk_length=512, max_total_length=args.max_len)
+    max_len = args.max_len or max(2048, args.prompt_len + args.steps + 256)
+    eng = EngineConfig(chunk_length=2048, max_total_length=max_len)
 
     try:
-        baseline = 154.59  # reference decode tok/s (BASELINE.md; 8B W4A16+spec on A100)
         wt = "w4a16" if args.quant else "bf16"
-        if args.spec:
-            r = bench_spec(cfg, eng, steps=args.steps)
-            extra = {
-                "prefill_tok_s": round(r["prefill_tok_s"], 2),
-                "mean_accept_length": round(r["mean_accept"], 3),
-            }
-            mode = "eagle-spec"
+        extra = {}
+        if args.batch:
+            r = bench_batch(cfg, eng, steps=args.steps, prompt_len=args.prompt_len,
+                            batch=args.batch)
+            mode = f"batch{args.batch}"
+        elif args.sparse:
+            r = bench_sparse(cfg, eng, steps=args.steps, prompt_len=args.prompt_len)
+            mode = f"sparse-{args.prompt_len}ctx"
+        elif args.spec:
+            r = bench_spec(cfg, eng, steps=args.steps, prompt_len=args.prompt_len,
+                           spec_type=args.spec_type)
+            extra["mean_accept_length"] = round(r["mean_accept"], 3)
+            mode = f"{args.spec_type}-spec"
         else:
-            r = bench_decode(cfg, eng, steps=args.steps)
-            extra = {"prefill_tok_s": round(r["prefill_tok_s"], 2)}
+            r = bench_decode(cfg, eng, steps=args.steps, prompt_len=args.prompt_len)
             mode = "dense"
+        extra["prefill_tok_s"] = round(r["prefill_tok_s"], 2)
         print(
             json.dumps(
                 {
                     "metric": f"{args.config}-{wt}-{mode} decode throughput (1 chip)",
                     "value": round(r["decode_tok_s"], 2),
                     "unit": "tok/s",
-                    "vs_baseline": round(r["decode_tok_s"] / baseline, 4),
+                    "vs_baseline": round(r["decode_tok_s"] / BASELINE_DECODE, 4),
                     "extra": extra,
                 }
             )

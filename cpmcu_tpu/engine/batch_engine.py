@@ -1,0 +1,431 @@
+"""Continuous batching: multi-sequence KV cache, batched decode, scheduler.
+
+No reference counterpart — CPM.cu is strictly batch-size-1 with a single
+global model and serialized server requests (SURVEY.md §2.9, server.py:34).
+This is the TPU-native scale-out layer from BASELINE config 5: a static
+(B, L, KVH, S, D) KV arena (one slot per in-flight sequence), a jitted
+batched decode step (all active slots advance together on the MXU), and a
+continuous-batching scheduler that admits/evicts requests between steps.
+
+Design notes (TPU-first):
+  * all shapes static: B = max_batch slots, S = per-slot budget; slot
+    admission/eviction never reallocates or recompiles;
+  * per-slot ``lengths`` is a device vector; inactive slots run the same
+    program with a zero attention span and a masked commit (lockstep SPMD
+    beats host-side divergence);
+  * prefill fills one slot at a time through the chunked single-sequence
+    path (a new request's prefill is the reference's chunked prefill,
+    llm.py:209-221), writing into the slot's cache lane;
+  * under a (dp, tp) mesh the slot axis shards over dp and heads over tp —
+    the batched arrays carry those shardings from creation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from collections import deque
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cache.kv import KVCache
+from ..core.config import EngineConfig, ModelConfig
+from ..core.memory import solve_kv_budget
+from ..models import llama
+from ..ops.sampling import sample
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BatchKVCache:
+    k: jax.Array  # (B, L, KVH, S, D)
+    v: jax.Array  # (B, L, KVH, S, D)
+    lengths: jax.Array  # (B,) int32 committed tokens per slot
+
+    @property
+    def num_slots(self) -> int:
+        return self.k.shape[0]
+
+    @property
+    def max_length(self) -> int:
+        return self.k.shape[3]
+
+    @staticmethod
+    def create(cfg: ModelConfig, num_slots: int, budget: int) -> "BatchKVCache":
+        shape = (num_slots, cfg.num_layers, cfg.num_kv_heads, budget, cfg.head_dim)
+        return BatchKVCache(
+            k=jnp.zeros(shape, cfg.jnp_dtype),
+            v=jnp.zeros(shape, cfg.jnp_dtype),
+            lengths=jnp.zeros((num_slots,), jnp.int32),
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "temperature", "top_k", "top_p", "attn_impl"),
+    donate_argnames=("bcache",),
+)
+def batch_decode_step(
+    cfg: ModelConfig,
+    params: dict,
+    rope,
+    bcache: BatchKVCache,
+    tokens: jax.Array,  # (B,) int32 last token per slot
+    active: jax.Array,  # (B,) bool
+    key: jax.Array,
+    *,
+    temperature: float,
+    top_k: int,
+    top_p: float,
+    attn_impl: str,
+):
+    """One lockstep decode step across all slots.
+
+    Returns (bcache, next_tokens (B,), key). Inactive slots compute too
+    (static shapes; their commit is masked) — the SPMD analog of running a
+    partially-filled batch.
+    """
+    B = tokens.shape[0]
+    keys = jax.random.split(key, B + 1)
+
+    def one(k_slot, v_slot, tok, length, sub):
+        cache = KVCache(k_slot, v_slot, length)
+        logits, cache = llama.forward(
+            cfg, params, rope, cache, tok[None], length[None],
+            logits_mode="all", attn_impl=attn_impl,
+        )
+        nxt = sample(logits[-1], sub, temperature=temperature,
+                     top_k=top_k, top_p=top_p)
+        return cache.k, cache.v, nxt
+
+    new_k, new_v, nxt = jax.vmap(one)(
+        bcache.k, bcache.v, tokens, bcache.lengths, keys[1:]
+    )
+    new_lengths = jnp.where(active, bcache.lengths + 1, bcache.lengths)
+    return BatchKVCache(new_k, new_v, new_lengths), nxt, keys[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "k", "temperature", "top_k", "top_p", "attn_impl"),
+    donate_argnames=("bcache",),
+)
+def batch_decode_segment(
+    cfg: ModelConfig,
+    params: dict,
+    rope,
+    bcache: BatchKVCache,
+    tokens: jax.Array,  # (B,)
+    active: jax.Array,  # (B,)
+    key: jax.Array,
+    *,
+    k: int,
+    temperature: float,
+    top_k: int,
+    top_p: float,
+    attn_impl: str,
+):
+    """K lockstep decode steps in one device program (the batched analog of
+    engine.decode_segment): one host sync per K*B tokens instead of per
+    step — on a tunneled device the readback dominates otherwise.
+    Returns (bcache, tokens (k, B), key)."""
+
+    def body(carry, _):
+        bcache, toks, key = carry
+        bcache, nxt, key = batch_decode_step(
+            cfg, params, rope, bcache, toks, active, key,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            attn_impl=attn_impl,
+        )
+        return (bcache, nxt, key), nxt
+
+    (bcache, _, key), out = jax.lax.scan(
+        body, (bcache, tokens, key), None, length=k
+    )
+    return bcache, out, key
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "attn_impl"),
+    donate_argnames=("bcache",),
+)
+def prefill_slot_chunk(
+    cfg: ModelConfig,
+    params: dict,
+    rope,
+    bcache: BatchKVCache,
+    slot: jax.Array,  # int32 scalar
+    chunk_tokens: jax.Array,  # (C,) int32, zero-padded
+    positions: jax.Array,  # (C,)
+    n_valid: jax.Array,  # int32
+    *,
+    attn_impl: str,
+):
+    """One prefill chunk into one slot's cache lane. Returns
+    (bcache, last-token logits (V,))."""
+    k_slot = jnp.squeeze(
+        jax.lax.dynamic_slice_in_dim(bcache.k, slot, 1, axis=0), 0
+    )
+    v_slot = jnp.squeeze(
+        jax.lax.dynamic_slice_in_dim(bcache.v, slot, 1, axis=0), 0
+    )
+    length = bcache.lengths[slot]
+    cache = KVCache(k_slot, v_slot, length)
+    logits, cache = llama.forward(
+        cfg, params, rope, cache, chunk_tokens, positions,
+        logits_idx=n_valid - 1, logits_mode="index", attn_impl=attn_impl,
+    )
+    new_k = jax.lax.dynamic_update_slice_in_dim(
+        bcache.k, cache.k[None], slot, axis=0
+    )
+    new_v = jax.lax.dynamic_update_slice_in_dim(
+        bcache.v, cache.v[None], slot, axis=0
+    )
+    new_lengths = bcache.lengths.at[slot].add(n_valid)
+    return BatchKVCache(new_k, new_v, new_lengths), logits[0]
+
+
+# ---------------------------------------------------------------------------
+# scheduler
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: int
+    prompt_ids: List[int]
+    max_new_tokens: int = 256
+    terminators: Tuple[int, ...] = ()
+    # filled by the scheduler
+    slot: int = -1
+    emitted: int = 0
+    done: bool = False
+    submit_time: float = 0.0
+    first_token_time: float = 0.0
+
+
+@dataclasses.dataclass
+class StepEvent:
+    request_id: int
+    token: int
+    finished: bool
+
+
+class ContinuousBatchingEngine:
+    """Iteration-level scheduler over the batched decode step.
+
+    ``submit()`` enqueues requests; each ``step()`` admits waiting requests
+    into free slots (running their chunked prefill), advances all active
+    slots by one token, and retires finished sequences — the vLLM-style
+    loop the reference lacks entirely.
+    """
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        eng: EngineConfig = EngineConfig(),
+        params: Optional[dict] = None,
+        *,
+        max_batch: int = 8,
+        attn_impl: str = "auto",
+        mesh=None,  # (dp, tp) mesh: slots over dp, heads over tp
+    ):
+        assert not cfg.apply_sparse, "sparse batching lands in a later round"
+        self.cfg = cfg
+        self.eng = eng
+        self.params = params
+        self.attn_impl = attn_impl
+        self.max_batch = max_batch
+        total = solve_kv_budget(cfg, eng)
+        self.slot_budget = max(128, (total // max_batch) // 128 * 128)
+        self.rope = llama.make_rope(cfg, self.slot_budget)
+        self.bcache = BatchKVCache.create(cfg, max_batch, self.slot_budget)
+        if mesh is not None:
+            from ..parallel.pspecs import shard_cache, shard_params
+
+            if params is not None:
+                self.params = shard_params(params, cfg, mesh)
+            self.bcache = shard_cache(self.bcache, mesh)
+        self.key = jax.random.PRNGKey(eng.random_seed)
+
+        self.waiting: deque[Request] = deque()
+        self.active: Dict[int, Request] = {}  # slot -> request
+        self.free_slots = list(range(max_batch))
+        self._next_id = 0
+        self._tokens = np.zeros((max_batch,), np.int32)  # last token per slot
+        self._requests: Dict[int, Request] = {}  # all submitted, by id
+
+    # -- API -----------------------------------------------------------------
+
+    def submit(self, prompt_ids: Sequence[int], max_new_tokens: int = 256,
+               terminators: Sequence[int] = ()) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        if len(prompt_ids) + max_new_tokens > self.slot_budget:
+            raise ValueError(
+                f"request needs {len(prompt_ids) + max_new_tokens} tokens; "
+                f"slot budget is {self.slot_budget}"
+            )
+        req = Request(
+            request_id=rid,
+            prompt_ids=list(prompt_ids),
+            max_new_tokens=max_new_tokens,
+            terminators=tuple(terminators),
+            submit_time=time.time(),
+        )
+        self.waiting.append(req)
+        self._requests[rid] = req
+        return rid
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.active)
+
+    def step(self) -> List[StepEvent]:
+        """Admit + decode one token for every active slot."""
+        events: List[StepEvent] = []
+        self._admit(events)
+        if not self.active:
+            return events
+
+        active_mask = np.zeros((self.max_batch,), bool)
+        for slot in self.active:
+            active_mask[slot] = True
+        self.bcache, nxt, self.key = batch_decode_step(
+            self.cfg, self.params, self.rope, self.bcache,
+            jnp.asarray(self._tokens), jnp.asarray(active_mask), self.key,
+            temperature=self.eng.temperature, top_k=self.eng.top_k,
+            top_p=self.eng.top_p, attn_impl=self.attn_impl,
+        )
+        nxt = np.asarray(nxt)
+
+        finished_slots = []
+        for slot, req in self.active.items():
+            tok = int(nxt[slot])
+            self._tokens[slot] = tok
+            req.emitted += 1
+            done = (
+                tok in req.terminators or req.emitted >= req.max_new_tokens
+            )
+            events.append(StepEvent(req.request_id, tok, done))
+            if done:
+                req.done = True
+                finished_slots.append(slot)
+        for slot in finished_slots:
+            del self.active[slot]
+            self.free_slots.append(slot)
+        return events
+
+    def step_segment(self, k: int) -> List[StepEvent]:
+        """Advance all active slots by up to ``k`` tokens with a single
+        host sync. Tokens decoded past a slot's terminator/limit are
+        discarded and its cache length rolled back (the overshoot is the
+        price of batching the readback; admission happens between
+        segments)."""
+        events: List[StepEvent] = []
+        self._admit(events)
+        if not self.active or k <= 1:
+            return events + (self.step() if self.active and k == 1 else [])
+
+        active_mask = np.zeros((self.max_batch,), bool)
+        for slot in self.active:
+            active_mask[slot] = True
+        len0 = np.asarray(self.bcache.lengths)
+        self.bcache, toks, self.key = batch_decode_segment(
+            self.cfg, self.params, self.rope, self.bcache,
+            jnp.asarray(self._tokens), jnp.asarray(active_mask), self.key,
+            k=k, temperature=self.eng.temperature, top_k=self.eng.top_k,
+            top_p=self.eng.top_p, attn_impl=self.attn_impl,
+        )
+        toks = np.asarray(toks)  # (k, B) — the one sync
+
+        new_lengths = np.asarray(self.bcache.lengths).copy()
+        finished_slots = []
+        for slot, req in self.active.items():
+            kept = 0
+            for j in range(k):
+                tok = int(toks[j, slot])
+                self._tokens[slot] = tok
+                req.emitted += 1
+                kept = j + 1
+                done = (tok in req.terminators
+                        or req.emitted >= req.max_new_tokens)
+                events.append(StepEvent(req.request_id, tok, done))
+                if done:
+                    req.done = True
+                    finished_slots.append(slot)
+                    break
+            # roll back overshoot: only ``kept`` tokens were committed
+            new_lengths[slot] = len0[slot] + kept
+        self.bcache = BatchKVCache(
+            self.bcache.k, self.bcache.v, jnp.asarray(new_lengths)
+        )
+        for slot in finished_slots:
+            del self.active[slot]
+            self.free_slots.append(slot)
+        return events
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drain the queue; returns request_id -> emitted tokens."""
+        out: Dict[int, List[int]] = {}
+        seg = max(1, self.eng.decode_segment_size)
+        while self.has_work:
+            # shortest remaining budget bounds the segment (no wasted steps)
+            rem = [r.max_new_tokens - r.emitted for r in self.active.values()]
+            k = max(1, min([seg] + [r for r in rem if r > 0] or [1]))
+            for ev in self.step_segment(k):
+                out.setdefault(ev.request_id, [])
+                if ev.token not in self._terminators_of(ev.request_id):
+                    out[ev.request_id].append(ev.token)
+        return out
+
+    # -- internals -------------------------------------------------------------
+
+    def _terminators_of(self, rid: int) -> Tuple[int, ...]:
+        req = self._requests.get(rid)
+        return req.terminators if req else ()
+
+    def _admit(self, events: List[StepEvent]):
+        C = self.eng.chunk_length
+        while self.waiting and self.free_slots:
+            req = self.waiting.popleft()
+            slot = self.free_slots.pop(0)
+            req.slot = slot
+            # reset the slot's length and chunk-prefill the prompt
+            self.bcache = BatchKVCache(
+                self.bcache.k, self.bcache.v,
+                self.bcache.lengths.at[slot].set(0),
+            )
+            ids = np.asarray(req.prompt_ids, np.int32)
+            logits = None
+            for i in range(0, len(ids), C):
+                n = min(len(ids) - i, C)
+                chunk = np.zeros((C,), np.int32)
+                chunk[:n] = ids[i : i + n]
+                pos = np.arange(i, i + C, dtype=np.int32)
+                self.bcache, logits = prefill_slot_chunk(
+                    self.cfg, self.params, self.rope, self.bcache,
+                    jnp.asarray(slot, jnp.int32),
+                    jnp.asarray(chunk), jnp.asarray(pos),
+                    jnp.asarray(n, jnp.int32), attn_impl=self.attn_impl,
+                )
+            self.key, sub = jax.random.split(self.key)
+            tok = int(sample(
+                logits, sub, temperature=self.eng.temperature,
+                top_k=self.eng.top_k, top_p=self.eng.top_p,
+            ))
+            req.first_token_time = time.time()
+            self._tokens[slot] = tok
+            req.emitted = 1
+            done = tok in req.terminators or req.max_new_tokens <= 1
+            events.append(StepEvent(req.request_id, tok, done))
+            if done:
+                req.done = True
+                self.free_slots.append(slot)
+            else:
+                self.active[slot] = req

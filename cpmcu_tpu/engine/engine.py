@@ -80,10 +80,13 @@ class Engine:
         eng: EngineConfig = EngineConfig(),
         params: Optional[dict] = None,
         attn_impl: str = "auto",
+        mesh=None,  # jax.sharding.Mesh: shard weights/KV (TP over heads,
+                    # SURVEY.md §5.8); single-chip when None
     ):
         self.cfg = cfg
         self.eng = eng
         self.attn_impl = attn_impl
+        self.mesh = mesh
         self.max_total_length = solve_kv_budget(cfg, eng)
         self.rope = llama.make_rope(cfg, self.max_total_length)
         self.params = params
@@ -94,6 +97,12 @@ class Engine:
             self.max_total_length = self.cache.max_length
         else:
             self.cache = KVCache.create(cfg, self.max_total_length)
+        if mesh is not None:
+            from ..parallel.pspecs import shard_cache, shard_params
+
+            if self.params is not None:
+                self.params = shard_params(self.params, cfg, mesh)
+            self.cache = shard_cache(self.cache, mesh)
         self.host_len = 0  # committed tokens, host mirror of cache.length
         self.key = jax.random.PRNGKey(eng.random_seed)
         self._last_prefill_time = 0.0

@@ -1,0 +1,244 @@
+"""Hierarchical speculation: EAGLE drafts for a small model, which chains
+for the big model.
+
+Counterpart of the reference's ``HierEagleW4A16GMSpecW4A16GMImpl``
+(src/model/hier_spec_quant/hier_ea_w4a16_gm_spec_w4a16_gm.cuh:430-607):
+an inner EAGLE-2 tree-speculation loop runs *against the small draft
+model* (draft -> draft-model tree decode -> draft_verify with KV fixup),
+repeating until at least ``min_draft_length`` chain tokens accumulate in
+``draft_tmp``; the accumulated chain is then handed to the big model for
+one sequential verify.
+
+TPU-native composition: the inner loop is literally ``spec_engine.spec_step``
+with the small model as its base (one jitted program per inner round); the
+outer chain verify is one more jitted program. Host-side state is only the
+accumulated chain and the accept bookkeeping — the reference instead
+maintains a dozen device buffers and a four-way branch state machine
+(draft()'s is_first_draft / num_prev==2 / draft_model_start cases), which
+collapses here because the drafter's EagleState is rebuilt from a 1-token
+catch-up pass each outer round.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cache.kv import KVCache
+from ..core.config import EngineConfig, ModelConfig
+from ..models import llama
+from ..ops.sampling import sample
+from ..spec.eagle import EagleConfig, EagleState
+from ..spec.verify import fix_kv, verify_tree
+from .engine import Engine
+from .spec_engine import SpecEngine, _embed, spec_step
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("draft_cfg", "ecfg", "attn_impl"),
+    donate_argnames=("dcache",),
+)
+def hier_catchup(
+    draft_cfg: ModelConfig,
+    ecfg: EagleConfig,
+    dparams, drope,
+    dcache: KVCache,
+    ekv: KVCache,
+    draft0,  # int32: the pending token (next chain root)
+    *, attn_impl: str,
+):
+    """Feed the pending root through the draft model and build a fresh
+    EagleState for the inner loop (replaces the reference's
+    draft_model_start/num_prev branches, hier_ea...cuh:436-520)."""
+    d0 = dcache.length
+    tok = jnp.asarray(draft0, jnp.int32)[None]
+    _, dcache, normed = llama.forward(
+        draft_cfg, dparams, drope, dcache, tok, d0[None],
+        logits_mode="none", attn_impl=attn_impl, return_hidden=True,
+    )
+    dcache = dcache.with_length(d0 + 1)
+
+    S = ecfg.tree_size
+    H = draft_cfg.hidden_size
+    emb = _embed(draft_cfg, dparams, tok)
+    prev_embed = jnp.zeros((S, H), draft_cfg.jnp_dtype).at[0].set(emb[0])
+    prev_hidden = jnp.zeros((S, H), draft_cfg.jnp_dtype).at[0].set(
+        normed[0].astype(draft_cfg.jnp_dtype)
+    )
+    estate = EagleState(
+        kv=ekv.with_length(d0),
+        prev_embed=prev_embed,
+        prev_hidden=prev_hidden,
+        num_prev=jnp.asarray(1, jnp.int32),
+        pos0=d0.astype(jnp.int32),
+    )
+    return dcache, estate
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "base_cfg", "max_chain", "temperature", "top_k", "top_p",
+        "attn_impl", "sparse_select",
+    ),
+    donate_argnames=("cache",),
+)
+def hier_outer_verify(
+    base_cfg: ModelConfig,
+    params, rope,
+    cache: KVCache,
+    chain_tokens,  # (max_chain+1,) [root, d1..dm, pad...]
+    n_valid,  # int32: 1 + m
+    key,
+    *, max_chain: int, temperature: float, top_k: int, top_p: float,
+    attn_impl: str, sparse_select: bool = False,
+):
+    """Big-model chain decode + sequential verify of the accumulated drafts
+    (the reference's verify_seq_draft path, hier_ea...cuh:601-660)."""
+    orig = cache.length
+    S = max_chain + 1
+    positions = orig + jnp.arange(S, dtype=jnp.int32)
+    logits, cache = llama.forward(
+        base_cfg, params, rope, cache, chain_tokens, positions,
+        logits_mode="all", attn_impl=attn_impl, sparse_select=sparse_select,
+    )
+    if temperature == 0.0:
+        gt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    else:
+        key, sub = jax.random.split(key)
+        gt = sample(logits, sub, temperature=temperature, top_k=top_k, top_p=top_p)
+
+    # padding rows must never be accepted: poison their predictions
+    idx = jnp.arange(S, dtype=jnp.int32)
+    pred = jnp.where(idx < n_valid, chain_tokens, -1)
+    tree_parent = jnp.maximum(idx - 1, 0)
+    tree_mask = jnp.tril(jnp.ones((S, S), jnp.bool_))
+    accept_len, accept_pos, emitted = verify_tree(
+        pred, gt, positions, tree_mask, tree_parent, orig
+    )
+    cache = fix_kv(cache, accept_pos, accept_len, orig)
+    path_logits = logits[accept_pos]
+    return emitted, accept_len, cache, key, path_logits
+
+
+class HierSpecEngine(Engine):
+    """Two-level speculation: big model <- chain <- small model <- EAGLE."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        draft_cfg: ModelConfig,
+        ecfg: EagleConfig,
+        eng: EngineConfig = EngineConfig(),
+        params=None,
+        dparams=None,
+        eparams=None,
+        attn_impl: str = "auto",
+        min_draft_length: int = 8,
+        mesh=None,
+    ):
+        super().__init__(cfg, eng, params, attn_impl, mesh=mesh)
+        assert not draft_cfg.apply_sparse
+        self.min_draft_length = min_draft_length
+        self.max_chain = min_draft_length + ecfg.tree_size
+        # the inner engine owns the draft model + EAGLE drafter state
+        inner_eng = eng
+        self.inner = SpecEngine(
+            draft_cfg, ecfg, inner_eng, dparams, eparams, attn_impl=attn_impl
+        )
+        self.accept_lengths: List[int] = []
+        self.inner_accept_lengths: List[int] = []
+        self.last_path_logits = None
+
+    # -- prefill both models ---------------------------------------------------
+
+    def prefill(self, input_ids: Sequence[int], progress_callback=None):
+        ids = list(input_ids)
+        logits = super().prefill(ids, progress_callback)
+        self.inner.prefill(ids)  # draft-model + eagle-lag chunked prefill
+        self._fresh = True
+        return logits
+
+    # -- outer round -------------------------------------------------------------
+
+    def _spec_round(self, draft0: int):
+        ecfg = self.inner.ecfg
+        dcfg = self.inner.cfg
+
+        # 1. catch-up: feed the pending root to the draft model, rebuild the
+        #    inner EagleState. On the very first round the inner engine's
+        #    prefill-lag state must flush first (spec_step_first equivalent):
+        #    run one inner round through the engine's own path.
+        if self._fresh:
+            inner_toks, inner_n = self.inner._spec_round(draft0)
+            self._fresh = False
+        else:
+            self.inner.cache, self.inner.estate = hier_catchup(
+                dcfg, ecfg, self.inner.params, self.inner.rope,
+                self.inner.cache, self.inner.estate.kv,
+                jnp.asarray(draft0, jnp.int32), attn_impl=self.attn_impl,
+            )
+            inner_toks, inner_n = self.inner._spec_round(draft0)
+        chain: List[int] = list(inner_toks)
+        self.inner_accept_lengths.append(inner_n)
+
+        # 2. keep drafting with inner EAGLE rounds until the chain is long
+        #    enough (hier_ea...cuh:525-585 while cur_draft_length < min)
+        while len(chain) < self.min_draft_length:
+            t, n = self.inner._spec_round(chain[-1])
+            self.inner_accept_lengths.append(n)
+            chain.extend(t)
+        chain = chain[: self.max_chain]
+
+        # 3. big-model sequential verify of [root] + chain
+        padded = np.zeros((self.max_chain + 1,), np.int32)
+        padded[0] = draft0
+        padded[1 : 1 + len(chain)] = chain
+        emitted, accept_len, self.cache, self.key, path_logits = (
+            hier_outer_verify(
+                self.cfg, self.params, self.rope, self.cache,
+                jnp.asarray(padded), jnp.asarray(1 + len(chain), jnp.int32),
+                self.key,
+                max_chain=self.max_chain,
+                temperature=self.eng.temperature,
+                top_k=self.eng.top_k,
+                top_p=self.eng.top_p,
+                attn_impl=self.attn_impl,
+                sparse_select=self.sparse_engaged(),
+            )
+        )
+        n = int(accept_len)
+        self.host_len += n
+
+        # 4. draft-model rollback: accepted drafted tokens are a contiguous
+        #    prefix of its committed chain; the bonus token stays pending
+        accepted_drafted = n - 1
+        dlen = int(self.inner.cache.length) - (len(chain) - accepted_drafted)
+        self.inner.cache = self.inner.cache.with_length(dlen)
+        self.inner.host_len = dlen
+
+        self.last_path_logits = np.asarray(path_logits, np.float32)[:n]
+        toks = np.asarray(emitted)[:n].tolist()
+        return toks, n
+
+    # streaming loop shared with SpecEngine
+    _generate_stream = SpecEngine._generate_stream
+    mean_accept_length = SpecEngine.mean_accept_length
+
+    def mean_inner_accept_length(self) -> float:
+        if not self.inner_accept_lengths:
+            return 0.0
+        return float(np.mean(self.inner_accept_lengths))
+
+    def reset(self):
+        super().reset()
+        self.inner.reset()
+        self.accept_lengths = []
+        self.inner_accept_lengths = []
+        self._fresh = True

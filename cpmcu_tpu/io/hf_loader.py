@@ -51,6 +51,17 @@ def iter_checkpoint_tensors(path: str):
 
     for file in file_list:
         if file.endswith(".safetensors"):
+            # prefer the native zero-copy mmap reader (csrc/stloader.cc)
+            try:
+                from .native import NativeSafetensors
+
+                with NativeSafetensors(file) as nf:
+                    for name in nf.keys():
+                        # materialize: the zero-copy view dies with the mmap
+                        yield name, nf.get(name).copy()
+                continue
+            except (RuntimeError, OSError):
+                pass
             from safetensors import safe_open
 
             with safe_open(file, framework="np") as f:
@@ -334,4 +345,73 @@ def load_eagle_params(
         out["token_id_remap"] = remap
         if base_params is not None:
             out["lm_head"] = {"w": base_params["lm_head"]["w"][:, remap]}
+    return out
+
+
+def load_eagle3_params(path_or_tensors, base_cfg: ModelConfig, ecfg,
+                       d2t_is_offset: bool = False):
+    """Load an EAGLE-3 drafter checkpoint into the spec.eagle3 pytree.
+
+    Name mangling mirrors Eagle3Impl::load_to_storage
+    (reference src/model/eagle3/eagle3.cuh:330-378): ``midlayer.*`` maps to
+    the single decoder layer (self_attn/mlp/input_layernorm/
+    post_attention_layernorm/hidden_norm), ``fc.weight`` is the 3H->H
+    feature fuser, ``norm.weight`` the output norm, ``d2t`` the
+    draft->target vocab mapping (int64 in the checkpoint), ``lm_head`` the
+    draft-vocab head. ``embed_tokens`` is dropped (base table reused,
+    eagle3.cuh:92).
+    """
+    tensors = (
+        iter_checkpoint_tensors(path_or_tensors)
+        if isinstance(path_or_tensors, str)
+        else path_or_tensors
+    )
+    m = ecfg.model
+    dt = m.jnp_dtype
+    out: Dict[str, object] = {}
+
+    sub_map = {
+        "self_attn.q_proj.weight": ("wq", "w"),
+        "self_attn.k_proj.weight": ("wk", "w"),
+        "self_attn.v_proj.weight": ("wv", "w"),
+        "self_attn.o_proj.weight": ("wo", "w"),
+        "input_layernorm.weight": ("input_norm", None),
+        "hidden_norm.weight": ("hidden_norm", None),
+        "post_attention_layernorm.weight": ("ffn_norm", None),
+        "mlp.gate_proj.weight": ("w_gate", "w"),
+        "mlp.up_proj.weight": ("w_up", "w"),
+        "mlp.down_proj.weight": ("w_down", "w"),
+    }
+
+    for name, arr in tensors:
+        name = name.removeprefix("model.")
+        if "embed_tokens" in name or "rotary_emb" in name or name == "t2d":
+            continue
+        if name == "fc.weight":
+            out["fc"] = {"w": jnp.asarray(np.asarray(arr).T, dt)}
+        elif name == "norm.weight":
+            out["output_norm"] = jnp.asarray(np.asarray(arr), dt)
+        elif name == "lm_head.weight":
+            out["lm_head"] = {"w": jnp.asarray(np.asarray(arr).T, dt)}
+        elif name == "d2t":
+            # the reference treats d2t as a direct map (target = d2t[draft],
+            # tools_ealge3.cuh:45-60); pass d2t_is_offset=True for exporters
+            # that store offsets (t = d + d2t[d], the yuhuili/EAGLE format)
+            d2t = np.asarray(arr).astype(np.int64)
+            if d2t_is_offset:
+                d2t = np.arange(d2t.size, dtype=np.int64) + d2t
+            out["d2t"] = jnp.asarray(d2t.astype(np.int32))
+        else:
+            mm = re.match(r"midlayer\.(.+)", name)
+            if mm and mm.group(1) in sub_map:
+                sub, leaf = sub_map[mm.group(1)]
+                a = np.asarray(arr)
+                if leaf == "w":
+                    out[sub] = {"w": jnp.asarray(a.T, dt)}
+                else:
+                    out[sub] = jnp.asarray(a, dt)
+
+    if "d2t" not in out and "lm_head" in out:
+        vd = out["lm_head"]["w"].shape[1]
+        out["d2t"] = jnp.arange(vd, dtype=jnp.int32)
     return out

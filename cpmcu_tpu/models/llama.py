@@ -134,7 +134,7 @@ def forward_batch(cfg: ModelConfig, params: dict, tokens: jax.Array) -> jax.Arra
     jax.jit,
     static_argnames=(
         "cfg", "logits_mode", "window", "sink", "attn_impl",
-        "sparse_select", "return_hidden",
+        "sparse_select", "return_hidden", "tap_layers",
     ),
     donate_argnames=("cache",),
 )
@@ -159,6 +159,10 @@ def forward(
     return_hidden: bool = False,  # also return post-final-norm hidden for
                                   # all T tokens (the EAGLE drafter input;
                                   # reference model.cuh:157 norms all tokens)
+    tap_layers: Optional[Tuple[int, ...]] = None,  # EAGLE-3 feature taps:
+                                  # collect these layers' FFN sublayer
+                                  # outputs (model.cuh:50-52,186-194) and
+                                  # return them concatenated (T, len*H)
 ):
     """One forward pass of T tokens against the cache.
 
@@ -173,13 +177,16 @@ def forward(
     rope_cos, rope_sin = rope
     h = embedding(params["embed"], token_ids, cfg.scale_emb, cfg.jnp_dtype)
     is_sparse = hasattr(cache, "c1")
+    T = token_ids.shape[0]
+    n_taps = len(tap_layers) if tap_layers else 0
+    taps0 = jnp.zeros((max(n_taps, 1), T, cfg.hidden_size), cfg.jnp_dtype)
 
     def body(carry, xs):
-        hidden = carry
+        hidden, taps = carry
         if is_sparse:
-            p, k_c, v_c, c1_c, c2_c = xs
+            p, k_c, v_c, c1_c, c2_c, li = xs
         else:
-            p, k_c, v_c = xs
+            p, k_c, v_c, li = xs
             c1_c = c2_c = None
         normed = rms_norm(hidden, p["attn_norm"], cfg.rms_norm_eps)
         attn_out, k_c, v_c = attention_block(
@@ -190,27 +197,41 @@ def forward(
         hidden = hidden + attn_out * jnp.asarray(cfg.scale_residual, hidden.dtype)
         normed = rms_norm(hidden, p["ffn_norm"], cfg.rms_norm_eps)
         ffn_out = gated_ffn(p, normed)
+        if tap_layers:
+            # the reference taps the raw (unscaled) FFN sublayer output of
+            # each save layer (layer.cuh output chaining; model.cuh:186-194)
+            for t, idx in enumerate(tap_layers):
+                taps = taps.at[t].set(
+                    jnp.where(li == idx, ffn_out, taps[t])
+                )
         hidden = hidden + ffn_out * jnp.asarray(cfg.scale_residual, hidden.dtype)
-        return hidden, (k_c, v_c)
+        return (hidden, taps), (k_c, v_c)
 
+    idxs = jnp.arange(cfg.num_layers, dtype=jnp.int32)
     if is_sparse:
-        xs = (params["layers"], cache.k, cache.v, cache.c1, cache.c2)
+        xs = (params["layers"], cache.k, cache.v, cache.c1, cache.c2, idxs)
     else:
-        xs = (params["layers"], cache.k, cache.v)
-    h, (new_k, new_v) = jax.lax.scan(body, h, xs)
+        xs = (params["layers"], cache.k, cache.v, idxs)
+    (h, taps), (new_k, new_v) = jax.lax.scan(body, (h, taps0), xs)
     if is_sparse:
         new_cache = dataclasses.replace(cache, k=new_k, v=new_v)
     else:
         new_cache = KVCache(new_k, new_v, cache.length)
 
+    # taps: (n, T, H) -> (T, n*H), concatenation order = tap_layers order
+    # (the reference's multi_layer_concat, tools_ealge3.cuh:11-43)
+    extras = ()
+    if tap_layers:
+        extras = (taps.transpose(1, 0, 2).reshape(T, n_taps * cfg.hidden_size),)
+
     if logits_mode == "none" and not return_hidden:
-        return h, new_cache
+        return (h, new_cache) + extras
 
     if return_hidden or logits_mode == "all":
         normed_all = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
 
     if logits_mode == "none":
-        return h, new_cache, normed_all
+        return (h, new_cache, normed_all) + extras
     if logits_mode == "index":
         idx = jnp.asarray(0 if logits_idx is None else logits_idx, jnp.int32)
         h_sel = jax.lax.dynamic_slice_in_dim(h, idx, 1, axis=0)
@@ -219,5 +240,5 @@ def forward(
         normed = normed_all
     logits = lm_head(params["lm_head"], normed, cfg.scale_lmhead)
     if return_hidden:
-        return logits.astype(jnp.float32), new_cache, normed_all
-    return logits.astype(jnp.float32), new_cache
+        return (logits.astype(jnp.float32), new_cache, normed_all) + extras
+    return (logits.astype(jnp.float32), new_cache) + extras

@@ -107,11 +107,21 @@ def repack_gptq(
         if not np.array_equal(np.asarray(g_idx).ravel(), expected):
             raise ValueError("act-order (desc_act) GPTQ checkpoints not supported")
     # unpack GPTQ layout: nibble j of word k8 = row k8*8 + j
-    w = qweight.astype(np.uint32)
-    q4 = np.zeros((K, N), np.int32)
-    for j in range(8):
-        # GPTQ nibble j of word k8 is unpacked row k8*8 + j
-        q4[j::8] = ((w >> (4 * j)) & 0xF).astype(np.int32)
+    q4 = None
+    try:
+        # multi-threaded native repack (csrc/stloader.cc) does unpack+pack
+        # in one pass; the numpy fallback below needs 16 full-array sweeps
+        from ..io.native import repack_gptq_native
+
+        packed = repack_gptq_native(np.asarray(qweight, np.int32))
+    except Exception:
+        packed = None
+    if packed is None:
+        w = qweight.astype(np.uint32)
+        q4 = np.zeros((K, N), np.int32)
+        for j in range(8):
+            # GPTQ nibble j of word k8 is unpacked row k8*8 + j
+            q4[j::8] = ((w >> (4 * j)) & 0xF).astype(np.int32)
     if qzeros is not None:
         zp = np.asarray(qzeros).astype(np.uint32)
         nib = np.stack([(zp >> (4 * j)) & 0xF for j in range(8)], axis=-1)
@@ -122,7 +132,7 @@ def repack_gptq(
         if not (np.all(zps == 8) or np.all(zps == 7)):
             raise ValueError("only symmetric (zero-point 8) GPTQ supported")
     return {
-        "q": jnp.asarray(pack_rows(q4)),
+        "q": jnp.asarray(packed if packed is not None else pack_rows(q4)),
         "s": jnp.asarray(np.asarray(scales, np.float32)),
     }
 

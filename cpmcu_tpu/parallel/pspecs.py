@@ -73,6 +73,42 @@ def kv_pspec():
     )
 
 
+def sparse_kv_pspec():
+    """MiniCPM4 sparse cache: compressed mirrors shard like the dense keys
+    (head axis over tp); block selection then happens per local head shard
+    with no cross-chip reduction (each kv head's scores are independent)."""
+    from ..cache.sparse_kv import SparseKVCache
+
+    h = P(None, AXIS_TP, None, None)
+    return SparseKVCache(k=h, v=h, c1=h, c2=h, length=P())
+
+
+def batch_kv_pspec():
+    """Continuous-batching arena: slots over dp, heads over tp."""
+    from ..engine.batch_engine import BatchKVCache
+
+    return BatchKVCache(
+        k=P(AXIS_DP, None, AXIS_TP, None, None),
+        v=P(AXIS_DP, None, AXIS_TP, None, None),
+        lengths=P(AXIS_DP),
+    )
+
+
+def cache_pspec_for(cache):
+    if hasattr(cache, "lengths"):
+        return batch_kv_pspec()
+    if hasattr(cache, "c1"):
+        return sparse_kv_pspec()
+    return kv_pspec()
+
+
+def shard_cache(cache, mesh: Mesh):
+    specs = cache_pspec_for(cache)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
+    )
+
+
 def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
     specs = param_pspecs(cfg)
     return jax.tree.map(

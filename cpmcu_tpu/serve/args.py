@@ -65,6 +65,13 @@ def add_model_config_args(parser: argparse.ArgumentParser):
     _opt(sp, "frspec_path", type=str, default=None,
          help="frequency-ranked vocab file (.pt/.npy); defaults to "
               "freq_{size}.(npy|pt) in the draft model dir")
+    _opt(sp, "spec_type", type=str, default="auto",
+         choices=["auto", "eagle2", "eagle3"],
+         help="EAGLE drafter version (auto-detected from draft config)")
+    _opt(sp, "d2t_is_offset", type=str2bool, default=False, nargs="?",
+         const=True,
+         help="EAGLE-3 d2t stores offsets (t = d + d2t[d]) instead of a "
+              "direct map")
 
     sa = parser.add_argument_group("Sparse Attention")
     _opt(sa, "sink_window_size", type=int, default=1)

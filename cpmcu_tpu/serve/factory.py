@@ -170,6 +170,24 @@ def create_engine(args: dict):
 
     with open(os.path.join(draft_path, "config.json")) as f:
         dconf = json.load(f)
+
+    # EAGLE version detection: explicit --spec-type, else config markers
+    # (reference: args spec_type, utils.py:146 eagle_version)
+    spec_type = args.get("spec_type", "auto")
+    if spec_type == "auto":
+        arch = " ".join(dconf.get("architectures") or []).lower()
+        is_e3 = (
+            "eagle3" in arch
+            or "draft_vocab_size" in dconf
+            or dconf.get("eagle_version") == 3
+        )
+        spec_type = "eagle3" if is_e3 else "eagle2"
+
+    if spec_type == "eagle3":
+        return _create_eagle3_engine(
+            args, cfg, family, eng, params, tokenizer, draft_path, dconf,
+            attn_impl,
+        ), tokenizer
     draft_model = ModelConfig.from_hf_config(
         dconf, dtype=cfg.dtype,
         quant=detect_quantization_from_path(draft_path),
@@ -208,3 +226,45 @@ def create_engine(args: dict):
         )
     engine = SpecEngine(cfg, ecfg, eng, params, eparams, attn_impl=attn_impl)
     return engine, tokenizer
+
+
+def _create_eagle3_engine(args, cfg, family, eng, params, tokenizer,
+                          draft_path, dconf, attn_impl):
+    """EAGLE-3 branch of create_engine (reference eagle_version==3 path,
+    cpmcu/speculative/eagle.py:70-116)."""
+    from ..engine.eagle3_engine import Eagle3Engine
+    from ..io.hf_loader import load_eagle3_params
+    from ..spec.eagle3 import Eagle3Config
+
+    draft_vocab = dconf.get("draft_vocab_size", cfg.vocab_size)
+    draft_model = ModelConfig.from_hf_config(
+        {**dconf, "vocab_size": draft_vocab}, dtype=cfg.dtype
+    )
+    draft_model = dataclasses.replace(
+        draft_model,
+        num_layers=1,
+        hidden_size=cfg.hidden_size,
+        rope=cfg.rope,
+        scale_residual=cfg.scale_residual if family in ("minicpm", "minicpm4")
+        else draft_model.scale_residual,
+        apply_sparse=False,
+    )
+    L = cfg.num_layers
+    tap_layers = tuple(
+        dconf.get("eagle3_layers_to_capture")
+        or (2, L // 2, L - 3)  # reference default {2,16,29} of 32, model.cuh:51
+    )
+    ecfg = Eagle3Config(
+        model=draft_model,
+        num_iter=eng.spec_num_iter,
+        topk_per_iter=eng.spec_topk_per_iter,
+        tree_size=eng.spec_tree_size,
+        window=eng.spec_window_size,
+        tap_layers=tap_layers,
+    )
+    with logger.stage("load eagle3 draft weights"):
+        eparams = load_eagle3_params(
+            draft_path, cfg, ecfg,
+            d2t_is_offset=bool(args.get("d2t_is_offset", False)),
+        )
+    return Eagle3Engine(cfg, ecfg, eng, params, eparams, attn_impl=attn_impl)

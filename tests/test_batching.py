@@ -1,0 +1,156 @@
+"""Continuous batching + mesh-sharded inference (BASELINE config 5 pieces)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from cpmcu_tpu.core.config import EngineConfig, ModelConfig, RopeConfig
+from cpmcu_tpu.engine.batch_engine import ContinuousBatchingEngine
+from cpmcu_tpu.engine.engine import Engine
+from cpmcu_tpu.models import llama
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = ModelConfig(
+        vocab_size=128, num_layers=2, hidden_size=32, intermediate_size=64,
+        num_heads=4, num_kv_heads=2, head_dim=8, rope=RopeConfig(),
+        dtype="float32",
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def _batch_engine(tiny, **kw):
+    cfg, params = tiny
+    eng = EngineConfig(chunk_length=16, max_total_length=512)
+    return ContinuousBatchingEngine(cfg, eng, params, attn_impl="xla", **kw)
+
+
+def test_batched_matches_single_engine(tiny):
+    """Greedy: every batched request must reproduce the single-sequence
+    engine's output exactly (lockstep batching is a pure layout change)."""
+    cfg, params = tiny
+    eng = EngineConfig(chunk_length=16, max_total_length=128)
+    prompts = [[1, 2, 3], [50, 60], [7, 8, 9, 10, 11]]
+
+    want = {}
+    single = Engine(cfg, eng, params, attn_impl="xla")
+    for i, p in enumerate(prompts):
+        single.reset()
+        toks, _, _ = single.generate(p, generation_length=8)
+        want[i] = toks
+
+    be = _batch_engine(tiny, max_batch=4)
+    ids = [be.submit(p, max_new_tokens=8) for p in prompts]
+    got = be.run()
+    for i, rid in enumerate(ids):
+        assert got[rid] == want[i], f"request {i} diverged"
+
+
+def test_more_requests_than_slots(tiny):
+    be = _batch_engine(tiny, max_batch=2)
+    ids = [be.submit([i + 1, i + 2], max_new_tokens=5) for i in range(5)]
+    out = be.run()
+    assert sorted(out.keys()) == sorted(ids)
+    assert all(len(v) == 5 for v in out.values())
+
+
+def test_terminator_frees_slot(tiny):
+    be = _batch_engine(tiny, max_batch=2)
+    # find the greedy second token, then use it as a terminator
+    probe = be.submit([1, 2, 3], max_new_tokens=4)
+    out = be.run()
+    term = out[probe][1]
+    rid = be.submit([1, 2, 3], max_new_tokens=10, terminators=[term])
+    out = be.run()
+    assert len(out[rid]) < 10
+    assert term not in out[rid]
+    assert len(be.free_slots) == 2
+
+
+def test_submit_overflow_raises(tiny):
+    be = _batch_engine(tiny, max_batch=2)
+    with pytest.raises(ValueError):
+        be.submit(list(range(1000)), max_new_tokens=be.slot_budget)
+
+
+def test_interleaved_submission(tiny):
+    """Requests submitted while others are mid-decode join the batch."""
+    be = _batch_engine(tiny, max_batch=4)
+    a = be.submit([1, 2, 3], max_new_tokens=12)
+    out = {a: []}
+    for _ in range(4):
+        for ev in be.step():
+            out[ev.request_id].append(ev.token)
+    b = be.submit([9, 8, 7], max_new_tokens=6)
+    out[b] = []
+    while be.has_work:
+        for ev in be.step():
+            out[ev.request_id].append(ev.token)
+    assert len(out[a]) == 12 and len(out[b]) == 6
+
+    # joining mid-flight must not change request a's output
+    single = Engine(be.cfg, EngineConfig(chunk_length=16, max_total_length=128),
+                    be.params, attn_impl="xla")
+    want, _, _ = single.generate([1, 2, 3], generation_length=12)
+    assert out[a] == want
+
+
+# ---------------------------------------------------------------------------
+# mesh-sharded engines
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_engine_matches_unsharded(tiny):
+    from cpmcu_tpu.core.mesh import create_mesh
+
+    cfg, params = tiny
+    eng = EngineConfig(chunk_length=16, max_total_length=128)
+    plain = Engine(cfg, eng, params, attn_impl="xla")
+    want, _, _ = plain.generate([1, 2, 3, 4], generation_length=8)
+
+    mesh = create_mesh(tp_size=2, dp_size=4)
+    sharded = Engine(cfg, eng, params, attn_impl="xla", mesh=mesh)
+    got, _, _ = sharded.generate([1, 2, 3, 4], generation_length=8)
+    assert got == want
+
+
+def test_sharded_batch_engine(tiny):
+    from cpmcu_tpu.core.mesh import create_mesh
+
+    mesh = create_mesh(tp_size=2, dp_size=4)
+    be = _batch_engine(tiny, max_batch=4, mesh=mesh)
+    prompts = [[1, 2, 3], [50, 60]]
+    ids = [be.submit(p, max_new_tokens=6) for p in prompts]
+    out = be.run()
+    assert all(len(out[r]) == 6 for r in ids)
+
+    plain = _batch_engine(tiny, max_batch=4)
+    ids2 = [plain.submit(p, max_new_tokens=6) for p in prompts]
+    out2 = plain.run()
+    for r1, r2 in zip(ids, ids2):
+        assert out[r1] == out2[r2]
+
+
+def test_sharded_sparse_engine(tiny):
+    from cpmcu_tpu.core.mesh import create_mesh
+
+    cfg, params = tiny
+    import dataclasses
+
+    scfg = dataclasses.replace(
+        cfg, apply_sparse=True, sparse_topk_k=2, block_window_size=2,
+        sparse_switch=64,
+    )
+    eng = EngineConfig(chunk_length=64, max_total_length=512)
+    mesh = create_mesh(tp_size=2, dp_size=4)
+    e = Engine(scfg, eng, params, attn_impl="xla", mesh=mesh)
+    prompt = np.random.default_rng(0).integers(0, 128, size=200).tolist()
+    toks, _, _ = e.generate(prompt, generation_length=6)
+    assert len(toks) == 6
+
+    plain = Engine(scfg, eng, params, attn_impl="xla")
+    want, _, _ = plain.generate(prompt, generation_length=6)
+    assert toks == want
