@@ -58,7 +58,7 @@ def bench_decode(cfg, eng, steps=64, warmup=8, prompt_len=128):
         done = 0
         while done < n:
             engine.cache, toks, engine.key = decode_segment(
-                cfg, params, engine.rope, engine.cache, tok, pos, engine.key,
+                cfg, engine.params, engine.rope, engine.cache, tok, pos, engine.key,
                 k=seg, temperature=0.0, top_k=0, top_p=1.0,
                 attn_impl=engine.attn_impl, sparse_select=sparse,
             )
@@ -167,7 +167,8 @@ def main():
     ap.add_argument("--sparse", action="store_true", help="InfLLM-v2 long context")
     ap.add_argument("--batch", type=int, default=0, help="continuous batching slots")
     ap.add_argument("--steps", type=int, default=64)
-    ap.add_argument("--prompt-len", type=int, default=128)
+    # default one full chunk so prefill tok/s is not diluted by padding
+    ap.add_argument("--prompt-len", type=int, default=2048)
     ap.add_argument("--max-len", type=int, default=0, help="0 = solve from HBM")
     args = ap.parse_args()
 

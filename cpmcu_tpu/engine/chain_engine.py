@@ -135,6 +135,8 @@ class ChainSpecEngine(Engine):
         super().__init__(cfg, eng, params, attn_impl, mesh=mesh)
         assert not draft_cfg.apply_sparse
         self.draft_cfg = draft_cfg
+        if dparams is not None and mesh is None:
+            dparams = llama.fuse_projections(dparams)
         self.dparams = dparams
         self.num_iter = max(eng.spec_num_iter, 1)
         budget = self.max_total_length + self.num_iter + 8

@@ -103,6 +103,9 @@ class Engine:
             if self.params is not None:
                 self.params = shard_params(self.params, cfg, mesh)
             self.cache = shard_cache(self.cache, mesh)
+        elif self.params is not None:
+            # single-chip: fuse qkv / gate+up projections (fewer dispatches)
+            self.params = llama.fuse_projections(self.params)
         self.host_len = 0  # committed tokens, host mirror of cache.length
         self.key = jax.random.PRNGKey(eng.random_seed)
         self._last_prefill_time = 0.0

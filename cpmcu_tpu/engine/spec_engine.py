@@ -199,6 +199,9 @@ class SpecEngine(Engine):
     ):
         super().__init__(cfg, eng, params, attn_impl)
         self.ecfg = ecfg
+        if eparams is not None and "layers" in eparams:
+            eparams = dict(eparams)
+            eparams.update(llama.fuse_projections({"layers": eparams["layers"]}))
         self.eparams = eparams
         # draft KV: base budget + expansion scratch slack
         self.ekv = KVCache.create(

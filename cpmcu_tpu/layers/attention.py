@@ -45,9 +45,21 @@ def attention_block(
     sparse_select: bool = False,  # static: engage InfLLM-v2 block selection
 ):
     T = x.shape[0]
-    q = linear(p["wq"], x).reshape(T, cfg.num_heads, cfg.head_dim)
-    k = linear(p["wk"], x).reshape(T, cfg.num_kv_heads, cfg.head_dim)
-    v = linear(p["wv"], x).reshape(T, cfg.num_kv_heads, cfg.head_dim)
+    if "wqkv" in p:
+        # fused qkv projection (reference fuses too, attn.cuh:36; halves the
+        # decode-kernel dispatch count and widens the N blocks)
+        qkv = linear(p["wqkv"], x)
+        q = qkv[:, : cfg.q_size].reshape(T, cfg.num_heads, cfg.head_dim)
+        k = qkv[:, cfg.q_size : cfg.q_size + cfg.kv_size].reshape(
+            T, cfg.num_kv_heads, cfg.head_dim
+        )
+        v = qkv[:, cfg.q_size + cfg.kv_size :].reshape(
+            T, cfg.num_kv_heads, cfg.head_dim
+        )
+    else:
+        q = linear(p["wq"], x).reshape(T, cfg.num_heads, cfg.head_dim)
+        k = linear(p["wk"], x).reshape(T, cfg.num_kv_heads, cfg.head_dim)
+        v = linear(p["wv"], x).reshape(T, cfg.num_kv_heads, cfg.head_dim)
 
     if cfg.use_qk_norm:
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)

@@ -66,8 +66,16 @@ def lm_head(p: dict, x, scale_lmhead: float):
 
 
 def gated_ffn(p: dict, x):
-    """norm -> gate/up -> SiLU(gate)*up -> down (ffn.cuh:77-84)."""
-    gate = linear(p["w_gate"], x)
-    up = linear(p["w_up"], x)
+    """norm -> gate/up -> SiLU(gate)*up -> down (ffn.cuh:77-84). Supports a
+    fused [gate|up] projection (the reference's gateup GEMM +
+    gated_silu_interleaved, activation.cuh:5-40 — ours concatenates on N
+    instead of interleaving)."""
+    if "w_gateup" in p:
+        gu = linear(p["w_gateup"], x)
+        half = gu.shape[-1] // 2
+        gate, up = gu[..., :half], gu[..., half:]
+    else:
+        gate = linear(p["w_gate"], x)
+        up = linear(p["w_up"], x)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
     return linear(p["w_down"], act)

@@ -77,6 +77,43 @@ def init_params(cfg: ModelConfig, key: jax.Array, scale: float = 0.02) -> dict:
     }
 
 
+def fuse_projections(params: dict) -> dict:
+    """Concatenate wq|wk|wv -> wqkv and w_gate|w_up -> w_gateup along N.
+
+    The reference runs fused qkv and gate_up GEMMs (attn.cuh:36,
+    ffn.cuh:24); on TPU the win is fewer kernel dispatches and wider
+    N-blocks at decode. Only applied to unsharded params (a fused column
+    dim would straddle TP shard boundaries); works for dense {'w'} and
+    quantized {'q','s'} packs alike (both concatenate on the N axis).
+    Biases concatenate the same way. Idempotent.
+    """
+    import copy
+
+    def cat(parts, leaf):
+        return jnp.concatenate([p[leaf] for p in parts], axis=-1)
+
+    def fuse_group(layers, names, fused_name):
+        parts = [layers[n] for n in names]
+        kinds = [tuple(sorted(p.keys())) for p in parts]
+        if len(set(kinds)) != 1:
+            return  # mixed dense/quant: leave unfused
+        fused = {}
+        for leaf in parts[0]:
+            fused[leaf] = cat(parts, leaf)
+        layers[fused_name] = fused
+        for n in names:
+            del layers[n]
+
+    out = dict(params)
+    layers = dict(params["layers"])
+    if "wq" in layers and "wqkv" not in layers:
+        fuse_group(layers, ("wq", "wk", "wv"), "wqkv")
+    if "w_gate" in layers and "w_gateup" not in layers:
+        fuse_group(layers, ("w_gate", "w_up"), "w_gateup")
+    out["layers"] = layers
+    return out
+
+
 def make_rope(cfg: ModelConfig, max_len: int):
     return rope_tables(cfg.rope, cfg.head_dim, max_len, seq_len=max_len)
 

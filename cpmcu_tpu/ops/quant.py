@@ -157,7 +157,13 @@ def dequantize(q, s, dtype=jnp.float32):
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bm, bn, nk, out_dtype):
+def _qmm_kernel_small(x_ref, q_ref, s_ref, o_ref, acc_ref, *, nk, out_dtype):
+    """Decode-shape kernel (grid (nm, nn, nk), k innermost): per nibble
+    plane, dequant feeds a small MXU dot directly — Mosaic overlaps plane
+    j+1's VPU dequant with plane j's dot. Measured fastest at M<=64 of the
+    three structures tried (interleaved 54 tok/s vs dequant-to-scratch 41
+    vs K-strip 36 on the 8B engine); batch-1 decode is VPU-dequant-bound,
+    so keeping the MXU work interleaved with the nibble extraction wins."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -168,10 +174,7 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bm, bn, nk, out_dtype):
     x = x_ref[:]  # (BM, 1024)
     s = s_ref[:]  # (8, BN) f32
     acc = acc_ref[:]
-    dq_dtype = x.dtype  # bf16 activations -> bf16 dequant (MXU-native)
-    # nibble plane j is the contiguous K span [j*128, (j+1)*128) of this
-    # chunk by pack construction — dequant feeds the MXU directly, letting
-    # Mosaic overlap VPU dequant of plane j+1 with the MXU dot of plane j
+    dq_dtype = x.dtype
     for j in range(8):
         nib = (jax.lax.shift_right_logical(w, 4 * j)) & 0xF
         wj = (nib - 8).astype(dq_dtype) * s[j : j + 1].astype(dq_dtype)
@@ -186,6 +189,45 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bm, bn, nk, out_dtype):
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, w_ref, *, bm, bn, nk, nm, out_dtype):
+    """Prefill-shape kernel: grid (nn, nk, nm), m innermost.
+
+    At m==0 the packed (128, BN) int32 block dequantizes ONCE into the
+    (1024, BN) bf16 scratch (`w_ref`); every m-tile then runs a single wide
+    MXU dot against it — the dequant VPU work amortizes over all M rows
+    (Marlin amortizes its ldmatrix+LOP3 dequant the same way across its
+    m-batching loop, gptq_marlin_mm.cu:150-180)."""
+    k = pl.program_id(1)
+    m = pl.program_id(2)
+
+    @pl.when(m == 0)
+    def _dequant():
+        w = q_ref[:]  # (128, BN) int32
+        sc = s_ref[:]  # (8, BN) f32
+        for j in range(8):
+            nib = (jax.lax.shift_right_logical(w, 4 * j)) & 0xF
+            w_ref[j * 128 : (j + 1) * 128, :] = (
+                (nib - 8).astype(w_ref.dtype) * sc[j : j + 1].astype(w_ref.dtype)
+            )
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[pl.ds(m * bm, bm), :] = jnp.zeros((bm, bn), jnp.float32)
+
+    acc_ref[pl.ds(m * bm, bm), :] += jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == nk - 1)
+    def _done():
+        # out block spans all M rows and is indexed by n only, so Pallas
+        # flushes it once per n-column instead of once per grid step
+        o_ref[pl.ds(m * bm, bm), :] = acc_ref[pl.ds(m * bm, bm), :].astype(
+            out_dtype
+        )
+
+
 @functools.partial(jax.jit, static_argnames=("out_dtype", "bn", "bm", "interpret"))
 def quant_matmul_pallas(
     x: jax.Array,  # (M, K) bf16/f32
@@ -194,7 +236,7 @@ def quant_matmul_pallas(
     *,
     out_dtype=None,
     bm: int = 256,
-    bn: int = 256,
+    bn: int = 512,
     interpret: Optional[bool] = None,
 ):
     if interpret is None:
@@ -205,7 +247,7 @@ def quant_matmul_pallas(
     out_dtype = out_dtype or x.dtype
 
     bm = min(bm, _round_up(M, 8))
-    bn = min(bn, N)
+    bn = min(bn, _round_up(N, 128))
     Mp = _round_up(M, bm)
     Np = _round_up(N, bn)
     if Mp != M:
@@ -215,19 +257,44 @@ def quant_matmul_pallas(
         s = jnp.pad(s, ((0, 0), (0, Np - N)))
 
     nm, nn, nk = Mp // bm, Np // bn, K // KCHUNK
-    grid = (nm, nn, nk)
+    dq_dtype = jnp.bfloat16 if x.dtype != jnp.float32 else jnp.float32
+
+    if Mp <= 64:
+        # decode shapes: interleaved dequant+dot, k innermost
+        out = pl.pallas_call(
+            functools.partial(_qmm_kernel_small, nk=nk, out_dtype=out_dtype),
+            grid=(nm, nn, nk),
+            in_specs=[
+                pl.BlockSpec((bm, KCHUNK), lambda m, n, k: (m, k)),
+                pl.BlockSpec((128, bn), lambda m, n, k: (k, n)),
+                pl.BlockSpec((8, bn), lambda m, n, k: (k, n)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
+            out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(x, q, s)
+        return out[:M, :N]
 
     out = pl.pallas_call(
-        functools.partial(_qmm_kernel, bm=bm, bn=bn, nk=nk, out_dtype=out_dtype),
-        grid=grid,
+        functools.partial(
+            _qmm_kernel, bm=bm, bn=bn, nk=nk, nm=nm, out_dtype=out_dtype
+        ),
+        grid=(nn, nk, nm),
         in_specs=[
-            pl.BlockSpec((bm, KCHUNK), lambda m, n, k: (m, k)),
-            pl.BlockSpec((128, bn), lambda m, n, k: (k, n)),
-            pl.BlockSpec((8, bn), lambda m, n, k: (k, n)),
+            pl.BlockSpec((bm, KCHUNK), lambda n, k, m: (m, k)),
+            pl.BlockSpec((128, bn), lambda n, k, m: (k, n)),
+            pl.BlockSpec((8, bn), lambda n, k, m: (k, n)),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
+        out_specs=pl.BlockSpec((Mp, bn), lambda n, k, m: (0, n)),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((Mp, bn), jnp.float32),
+            pltpu.VMEM((KCHUNK, bn), dq_dtype),
+        ],
         interpret=interpret,
     )(x, q, s)
     return out[:M, :N]

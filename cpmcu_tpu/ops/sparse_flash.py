@@ -90,7 +90,10 @@ def build_visit_lists(
     nb_pad = _round_up(nb, 128)
     if nb_pad != nb:
         visit = jnp.pad(visit, ((0, 0), (0, 0), (0, nb_pad - nb)))
-    return visit, nvisit
+    # (KVH, nq, 1, NB): each row is its own (1, NB) tile so the per-tile
+    # row DMA stays sublane-aligned for any nq (Mosaic rejects slicing a
+    # single row out of an (nq, NB) tile when nq > 1)
+    return visit.reshape(visit.shape[0], visit.shape[1], 1, nb_pad), nvisit
 
 
 # ---------------------------------------------------------------------------
@@ -105,7 +108,7 @@ def _sparse_kernel(
     limit_ref,  # (1,) int32
     # inputs
     q_ref,  # (1, 1, rows, D) VMEM
-    visit_hbm,  # (KVH, nq, NB) int32 ANY/HBM
+    visit_hbm,  # (KVH, nq, 1, NB) int32 ANY/HBM
     topk_ref,  # (1, 1, BT, K) int32 VMEM
     pos_ref,  # (1, 1, BT) int32 VMEM
     k_hbm,  # (KVH, S, D) ANY/HBM
@@ -150,9 +153,7 @@ def _sparse_kernel(
         # pull this tile's block index list into SMEM (the reference reads
         # its uint64 bitmap directly from gmem per skip-scan step,
         # flash_blockmask.h:68; one 16KB DMA up front is the TPU way)
-        vl = pltpu.make_async_copy(
-            visit_hbm.at[h, pl.ds(qi, 1), :], visit_smem, vlsem
-        )
+        vl = pltpu.make_async_copy(visit_hbm.at[h, qi], visit_smem, vlsem)
         vl.start()
         vl.wait()
         get_dma(kbuf, ksem, k_hbm, 0, 0).start()

@@ -96,9 +96,10 @@ def run_generation(args: dict) -> int:
         summary["mean_accept_length"] = engine.mean_accept_length()
     display.show_generation_stats(summary)
 
-    from ..utils.perf import perf_summary
+    from ..utils.perf import perf_enabled, perf_summary
 
-    perf_summary()
+    if perf_enabled():
+        print(perf_summary())
     return 0
 
 

@@ -143,6 +143,43 @@ def test_select_blocks_forcing_and_topk():
     assert not bits[..., 9:].any()  # blocks > 16-8=8 are forced out
 
 
+def test_selection_finds_needle_block():
+    """Semantic gate: a distant block whose keys align with the query must
+    be selected even when every nearer block is noise (the point of
+    InfLLM-v2: retrieval over compressed semantic kernels)."""
+    rng = np.random.default_rng(42)
+    KVH, D = 2, 16
+    S = 64 * 64  # 64 blocks
+    hist = S
+    needle_block = 7
+    k = rng.normal(0, 0.1, size=(KVH, S, D)).astype(np.float32)
+    qvec = rng.normal(size=(D,)).astype(np.float32)
+    qvec /= np.linalg.norm(qvec)
+    # plant the needle: the whole block's keys point along q
+    k[:, needle_block * 64 : needle_block * 64 + 64] = qvec * 3.0
+
+    # compress c1/c2 (full recompute via the incremental op)
+    c1 = jnp.zeros((KVH, S // 16, D), jnp.float32)
+    c2 = jnp.zeros((KVH, S // 64, D), jnp.float32)
+    c1 = sp.compress_incremental(jnp.asarray(k), c1, 0,
+                                 int(sp.c_len_of(hist, 16)), stride=16,
+                                 max_new=S // 16)
+    c2 = sp.compress_incremental(jnp.asarray(k), c2, 0,
+                                 int(sp.c_len_of(hist, 64)), stride=64,
+                                 max_new=S // 64)
+
+    q = jnp.asarray(np.tile(qvec, (1, 4, 1)), jnp.float32)  # (T=1, H=4, D)
+    scores = sp.stage1_scores(
+        q, c1, c2, sp.c_len_of(hist, 16), sp.c_len_of(hist, 64), use_lse=True
+    )
+    idx, keep, _ = sp.select_blocks(
+        scores, jnp.asarray([hist], jnp.int32), hist,
+        topk=4, init_blocks=1, local_blocks=8,
+    )
+    chosen = set(np.asarray(idx)[0, 0][np.asarray(keep)[0, 0]].tolist())
+    assert needle_block in chosen, f"needle block missing from {chosen}"
+
+
 def test_block_visibility_window():
     KVH, T, NB = 1, 1, 16
     bits = np.zeros((KVH, T, NB), bool)
