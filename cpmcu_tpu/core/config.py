@@ -217,6 +217,9 @@ class EngineConfig:
     # tokens generated per fused device program (the CUDA-Graph-replay
     # analog; 1 = step-per-dispatch like the reference)
     decode_segment_size: int = 16
+    # spec rounds fused per device program (1 = sync per round, like the
+    # reference's per-step accept readback)
+    spec_segment_size: int = 4
 
     # speculative decoding (reference defaults args.py:50-66)
     use_spec: bool = False

@@ -185,6 +185,42 @@ def spec_step(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "base_cfg", "ecfg", "k", "temperature", "top_k", "top_p", "attn_impl",
+        "sparse_select",
+    ),
+    donate_argnames=("cache", "estate"),
+)
+def spec_segment(
+    base_cfg, ecfg, params, eparams, rope, cache, estate: EagleState,
+    draft0, key,
+    *, k: int, temperature, top_k, top_p, attn_impl,
+    sparse_select: bool = False,
+):
+    """K spec rounds fused into one device program (the speculative analog
+    of engine.decode_segment): host syncs once per K rounds instead of per
+    round — on a tunneled device the accept-length readback RTT otherwise
+    dominates the step time. Returns (emitted (k, S), accept_lens (k,),
+    cache, estate, key)."""
+
+    def body(carry, _):
+        cache, estate, d0, key = carry
+        emitted, alen, cache, estate, key, _ = spec_step.__wrapped__(
+            base_cfg, ecfg, params, eparams, rope, cache, estate, d0, key,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            attn_impl=attn_impl, sparse_select=sparse_select,
+        )
+        nxt = emitted[jnp.clip(alen - 1, 0, emitted.shape[0] - 1)]
+        return (cache, estate, nxt, key), (emitted, alen)
+
+    (cache, estate, _, key), (emitted, alens) = jax.lax.scan(
+        body, (cache, estate, draft0, key), None, length=k
+    )
+    return emitted, alens, cache, estate, key
+
+
 class SpecEngine(Engine):
     """Engine with EAGLE-2 tree speculation (LLM_with_eagle analog)."""
 
@@ -296,6 +332,29 @@ class SpecEngine(Engine):
         toks = np.asarray(emitted)[:n].tolist()
         return toks, n
 
+    def _spec_rounds(self, draft0: int, k: int):
+        """K fused spec rounds, ONE host sync (spec_segment). Requires a
+        live estate (i.e. not the first round after prefill)."""
+        emitted, alens, self.cache, self.estate, self.key = spec_segment(
+            self.cfg, self.ecfg, self.params, self.eparams, self.rope,
+            self.cache, self.estate,
+            jnp.asarray(draft0, jnp.int32), self.key,
+            k=k,
+            temperature=self.eng.temperature,
+            top_k=self.eng.top_k,
+            top_p=self.eng.top_p,
+            attn_impl=self.attn_impl,
+            sparse_select=self.sparse_engaged(),
+        )
+        emitted = np.asarray(emitted)  # the one sync
+        alens = np.asarray(alens)
+        rounds = []
+        for r in range(k):
+            n = int(alens[r])
+            self.host_len += n
+            rounds.append((emitted[r, :n].tolist(), n))
+        return rounds
+
     def _generate_stream(self, input_ids, generation_length, terminators, progress_callback):
         terminators = set(int(t) for t in terminators)
         logits = self.prefill(input_ids, progress_callback)
@@ -320,18 +379,36 @@ class SpecEngine(Engine):
         if finished:
             return
         draft0 = token
+        seg = max(1, getattr(self.eng, "spec_segment_size", 1))
+        first = True
         while True:
-            toks, n = self._spec_round(draft0)
-            self.accept_lengths.append(n)
-            for j, t in enumerate(toks):
-                finished = (
-                    t in terminators or emitted_count + 1 >= generation_length
-                )
-                yield item(t, finished, n if j == 0 else 0)
-                emitted_count += 1
-                if finished:
-                    return
-            draft0 = toks[-1]
+            # engines sharing this loop without a fused-segment step
+            # (eagle3/chain/hier) run one jitted round per sync
+            can_segment = (
+                not first
+                and seg > 1
+                and hasattr(self, "_spec_rounds")
+                and getattr(self, "estate", None) is not None
+            )
+            if not can_segment:
+                rounds = [self._spec_round(draft0)]
+                first = False
+            else:
+                # every round accepts >=1 token, so the remaining need
+                # bounds the useful segment length (overshoot is wasted)
+                need = generation_length - emitted_count
+                rounds = self._spec_rounds(draft0, min(seg, max(1, need)))
+            for toks, n in rounds:
+                self.accept_lengths.append(n)
+                for j, t in enumerate(toks):
+                    finished = (
+                        t in terminators or emitted_count + 1 >= generation_length
+                    )
+                    yield item(t, finished, n if j == 0 else 0)
+                    emitted_count += 1
+                    if finished:
+                        return
+                draft0 = toks[-1]
 
     def mean_accept_length(self) -> float:
         return float(np.mean(self.accept_lengths)) if self.accept_lengths else 0.0

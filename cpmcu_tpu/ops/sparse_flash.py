@@ -2,22 +2,24 @@
 
 TPU-native replacement for the reference's blockmask-driven FlashAttention
 main loop (src/flash_attn/src/flash_blockmask.h:5-110 skip-scan +
-flash_fwd_kernel.h headlevel kernels): instead of bit-scanning a uint64
-bitmap inside the kernel, the host-side XLA prologue compacts each
-(kv-head, query-tile)'s visible 64-token blocks into an ascending **visit
-list**, and the kernel walks exactly ``nvisit`` entries with manually
-double-buffered HBM->VMEM DMA — true dynamic skipping (work ∝ selected
-blocks, not context length), which a static Pallas grid cannot express.
+flash_fwd_kernel.h headlevel kernels). Design:
 
-Per-token exactness: a key block on the visit list is the *union* over the
-tile's tokens; each token's own visibility is re-derived in-kernel from its
-top-k index row (membership test) OR the local block window — the same
-per-token granularity as the reference's per-16-row bitmap
-(minicpm4_attn.cuh:162-199), without shipping bitmaps to SMEM.
-
-Query tiling folds the G = H/KVH query heads of a KV group into MXU rows
-(rows = G * BT), so each visited block is streamed exactly once per tile.
-BT defaults to 128/G rows -> full-width MXU tiles even at tiny decode T.
+  * the kernel streams 512-token KV tiles through the normal Pallas
+    pipeline; an XLA prologue computes, per (kv head, query tile), which
+    tiles contain ANY visible 64-token selection block and a clamped
+    ``load_idx`` table — the BlockSpec index_map reads it from SMEM, so
+    skipped tiles repeat the previous mapping (no DMA is issued) and
+    ``pl.when`` skips their compute. Work and traffic scale with the
+    selected fraction, pipelined, with none of the per-block DMA latency a
+    manual copy loop pays (v1 of this kernel DMA'd 64-token blocks with
+    explicit semaphore waits — ~36K serialized waits per 8B prefill chunk).
+  * per-token exactness inside a visited tile: each token's own visibility
+    is re-derived from its top-k index row (membership test against the
+    tile's 64-token sub-blocks) OR the local block window — the same
+    per-token granularity as the reference's per-16-row bitmap
+    (minicpm4_attn.cuh:162-199).
+  * query tiling folds the G = H/KVH query heads of a KV group into MXU
+    rows (rows = G * BT).
 """
 
 from __future__ import annotations
@@ -33,6 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .sparse import BLOCK, NEG_INF
 
+BK = 512  # KV rows per pipelined tile (8 selection blocks)
+
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
@@ -43,13 +47,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# visit-list prologue (XLA)
+# visit-table prologue (XLA)
 # ---------------------------------------------------------------------------
 
 
-def build_visit_lists(
-    topk_idx: jax.Array,  # (KVH, T, K) selected block ids (top-k per token)
-    topk_valid: jax.Array,  # (KVH, T, K) bool: selection not forced out
+def build_visit_tables(
+    topk_idx: jax.Array,  # (KVH, T, K) selected 64-token block ids
+    topk_valid: jax.Array,  # (KVH, T, K) bool
     positions: jax.Array,  # (T,) absolute query positions
     limit,  # int32 scalar: exclusive bound on visible cache rows
     nb: int,  # static: number of 64-token blocks in the cache
@@ -57,11 +61,9 @@ def build_visit_lists(
     *,
     local_blocks: int,
 ):
-    """Compact per-tile visit lists.
-
-    Returns (visit (KVH, nq, NB) int32 ascending block ids — entries beyond
-    nvisit are the invalid-block pad, nvisit (KVH, nq) int32).
-    """
+    """Returns (load_idx (KVH, nq, NBK) int32 — KV-tile index to map, with
+    skipped tiles clamped to the previous visited tile, visited
+    (KVH, nq, NBK) int32 0/1)."""
     from .sparse import bits_from_topk
 
     KVH, T, K = topk_idx.shape
@@ -79,21 +81,22 @@ def build_visit_lists(
 
     if Tp != T:
         vis = jnp.pad(vis, ((0, 0), (0, Tp - T), (0, 0)))
-    union = vis.reshape(KVH, nq, bt, nb).any(axis=2)  # (KVH, nq, NB)
+    union = vis.reshape(KVH, nq, bt, nb).any(axis=2)  # (KVH, nq, nb)
 
-    bb = jnp.arange(nb, dtype=jnp.int32)
-    key = jnp.where(union, bb, nb + bb)
-    visit = jnp.argsort(key, axis=-1).astype(jnp.int32)  # set bits first, asc
-    nvisit = union.sum(axis=-1).astype(jnp.int32)
-    # pad the lane dim to 128 so the per-tile row DMA is a whole, tiling-
-    # aligned slice (Mosaic rejects partial lane slices)
-    nb_pad = _round_up(nb, 128)
-    if nb_pad != nb:
-        visit = jnp.pad(visit, ((0, 0), (0, 0), (0, nb_pad - nb)))
-    # (KVH, nq, 1, NB): each row is its own (1, NB) tile so the per-tile
-    # row DMA stays sublane-aligned for any nq (Mosaic rejects slicing a
-    # single row out of an (nq, NB) tile when nq > 1)
-    return visit.reshape(visit.shape[0], visit.shape[1], 1, nb_pad), nvisit
+    # group 64-token selection blocks into 512-token KV tiles
+    sub = BK // BLOCK
+    nbk = (nb + sub - 1) // sub
+    if nbk * sub != nb:
+        union = jnp.pad(union, ((0, 0), (0, 0), (0, nbk * sub - nb)))
+    visited = union.reshape(KVH, nq, nbk, sub).any(axis=-1)
+
+    # clamp skipped tiles to the previous visited tile so their BlockSpec
+    # mapping (and hence their DMA) repeats and is elided by the pipeline
+    t_idx = jnp.arange(nbk, dtype=jnp.int32)
+    marked = jnp.where(visited, t_idx, -1)
+    load_idx = jax.lax.associative_scan(jnp.maximum, marked, axis=-1)
+    load_idx = jnp.maximum(load_idx, 0)
+    return load_idx, visited.astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -103,25 +106,20 @@ def build_visit_lists(
 
 def _sparse_kernel(
     # scalar prefetch
-    nvisit_ref,  # (KVH*nq,) int32 SMEM
-    prior_ref,  # (1,) int32
+    load_ref,  # (KVH*nq*NBK,) int32
+    visit_ref,  # (KVH*nq*NBK,) int32 0/1
     limit_ref,  # (1,) int32
     # inputs
-    q_ref,  # (1, 1, rows, D) VMEM
-    visit_hbm,  # (KVH, nq, 1, NB) int32 ANY/HBM
-    topk_ref,  # (1, 1, BT, K) int32 VMEM
-    pos_ref,  # (1, 1, BT) int32 VMEM
-    k_hbm,  # (KVH, S, D) ANY/HBM
-    v_hbm,  # (KVH, S, D) ANY/HBM
+    q_ref,  # (1, 1, rows, D)
+    topk_ref,  # (1, 1, BT, K) int32
+    pos_ref,  # (1, 1, BT) int32
+    k_ref,  # (1, BK, D)
+    v_ref,  # (1, BK, D)
     # outputs
     o_ref,  # (1, 1, rows, D)
     lse_ref,  # (1, 1, rows, 128)
     # scratch
-    visit_smem,  # (1, NB) int32 SMEM — this tile's visit list
-    kbuf,  # (2, BLOCK, D) VMEM
-    vbuf,  # (2, BLOCK, D) VMEM
-    vlsem,  # visit-list DMA semaphore
-    ksem, vsem,  # DMA semaphores (2,)
+    m_scr, l_scr, acc_scr,
     *,
     scale: float,
     g: int,
@@ -131,93 +129,63 @@ def _sparse_kernel(
 ):
     h = pl.program_id(0)
     qi = pl.program_id(1)
+    b = pl.program_id(2)
     nq = pl.num_programs(1)
+    nbk = pl.num_programs(2)
     rows, D = q_ref.shape[2], q_ref.shape[3]
-    n = nvisit_ref[h * nq + qi]
     limit = limit_ref[0]
+    flat = (h * nq + qi) * nbk + b
 
-    q = q_ref[0, 0]  # (rows, D)
-    pos_bt = pos_ref[0, 0]  # (BT,)
-    topk = topk_ref[0, 0]  # (BT, K)
+    @pl.when(b == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    def get_dma(buf, sem, hbm, slot, i):
-        blk = visit_smem[0, i]
-        return pltpu.make_async_copy(
-            hbm.at[h, pl.ds(blk * BLOCK, BLOCK), :],
-            buf.at[slot],
-            sem.at[slot],
+    @pl.when(visit_ref[flat] == 1)
+    def _compute():
+        tile = load_ref[flat]  # actual KV-tile index mapped this step
+        q = q_ref[0, 0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (rows, BK)
+
+        # per-token visibility in (BT, BK) space
+        j = tile * BK + jax.lax.broadcasted_iota(jnp.int32, (bt, BK), 1)
+        qpos = pos_ref[0, 0][:, None]  # (BT, 1)
+        blk64 = j // BLOCK  # 64-token selection block of each key
+        topk = topk_ref[0, 0]  # (BT, K)
+        member = jnp.zeros((bt, BK), jnp.bool_)
+        for kk in range(topk.shape[1]):
+            member |= topk[:, kk : kk + 1] == blk64
+        windowed = blk64 > qpos // BLOCK - local_blocks
+        ok = (j <= qpos) & (j < limit) & (member | windowed)
+        ok = jnp.broadcast_to(ok[None], (g, bt, BK)).reshape(rows, BK)
+        s = jnp.where(ok, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = jnp.broadcast_to(
+            l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True), l_scr.shape
         )
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
 
-    @pl.when(n > 0)
-    def _run():
-        # pull this tile's block index list into SMEM (the reference reads
-        # its uint64 bitmap directly from gmem per skip-scan step,
-        # flash_blockmask.h:68; one 16KB DMA up front is the TPU way)
-        vl = pltpu.make_async_copy(visit_hbm.at[h, qi], visit_smem, vlsem)
-        vl.start()
-        vl.wait()
-        get_dma(kbuf, ksem, k_hbm, 0, 0).start()
-        get_dma(vbuf, vsem, v_hbm, 0, 0).start()
-
-        def body(i, carry):
-            m_prev, l_prev, acc = carry
-            slot = jax.lax.rem(i, 2)
-            nxt = jax.lax.rem(i + 1, 2)
-
-            @pl.when(i + 1 < n)
-            def _prefetch():
-                get_dma(kbuf, ksem, k_hbm, nxt, i + 1).start()
-                get_dma(vbuf, vsem, v_hbm, nxt, i + 1).start()
-
-            get_dma(kbuf, ksem, k_hbm, slot, i).wait()
-            get_dma(vbuf, vsem, v_hbm, slot, i).wait()
-
-            blk = visit_smem[0, i]
-            k = kbuf[slot]  # (BLOCK, D)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale  # (rows, BLOCK)
-
-            # per-token visibility, built in (G, BT, BLOCK) space
-            j = blk * BLOCK + jax.lax.broadcasted_iota(
-                jnp.int32, (bt, BLOCK), 1
-            )  # (BT, BLOCK) absolute key positions
-            qpos = pos_bt[:, None]  # (BT, 1)
-            member = jnp.any(topk == blk, axis=-1, keepdims=True)  # (BT, 1)
-            windowed = blk > qpos // BLOCK - local_blocks
-            ok = (j <= qpos) & (j < limit) & (member | windowed)  # (BT, BLOCK)
-            ok = jnp.broadcast_to(ok[None], (g, bt, BLOCK)).reshape(rows, BLOCK)
-            s = jnp.where(ok, s, NEG_INF)
-
-            m_cur = jnp.max(s, axis=1, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            p = jnp.exp(s - m_new)
-            l_new = l_prev * jnp.exp(m_prev - m_new) + jnp.sum(
-                p, axis=1, keepdims=True
-            )
-            acc = acc * jnp.exp(m_prev - m_new) + jax.lax.dot_general(
-                p.astype(vbuf.dtype), vbuf[slot], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return m_new, l_new, acc
-
-        m0 = jnp.full((rows, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((rows, 1), jnp.float32)
-        a0 = jnp.zeros((rows, D), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, n, body, (m0, l0, a0))
-
+    @pl.when(b == nbk - 1)
+    def _finalize():
+        l = l_scr[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
         if emit_lse:
-            lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))
+            lse = jnp.where(l == 0.0, NEG_INF, m_scr[:, :1] + jnp.log(l_safe))
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
-
-    @pl.when(n == 0)
-    def _empty():
-        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
-        if emit_lse:
-            lse_ref[0, 0] = jnp.full(lse_ref.shape[2:], NEG_INF, jnp.float32)
 
 
 @functools.partial(
@@ -253,7 +221,7 @@ def sparse_flash_mha(
     if scale is None:
         scale = 1.0 / math.sqrt(D)
     if bt is None:
-        bt = max(8, 128 // G)
+        bt = max(8, 1024 // G)
     bt = min(bt, _round_up(T, 8))
     nq = pl.cdiv(T, bt)
     Tp = nq * bt
@@ -262,31 +230,37 @@ def sparse_flash_mha(
     prior = jnp.asarray(prior_len, jnp.int32)
     limit = prior + (T if include_new else 0)
 
-    visit, nvisit = build_visit_lists(
+    load_idx, visited = build_visit_tables(
         topk_idx, topk_valid, positions, limit, NB, bt,
         local_blocks=local_blocks,
     )
+    nbk = load_idx.shape[-1]
+    Sp = nbk * BK
+    if Sp != S:
+        k_cache = jnp.pad(k_cache, ((0, 0), (0, Sp - S), (0, 0)))
+        v_cache = jnp.pad(v_cache, ((0, 0), (0, Sp - S), (0, 0)))
 
     # fold query heads into tile rows: (T, H, D) -> (KVH, nq, G*bt, D)
     if Tp != T:
         q = jnp.pad(q, ((0, Tp - T), (0, 0), (0, 0)))
     qg = (
         q.reshape(nq, bt, KVH, G, D)
-        .transpose(2, 0, 3, 1, 4)  # (KVH, nq, G, bt, D)
+        .transpose(2, 0, 3, 1, 4)
         .reshape(KVH, nq, rows, D)
     )
     pos_p = jnp.asarray(positions, jnp.int32)
     if Tp != T:
         pos_p = jnp.pad(pos_p, (0, Tp - T), constant_values=0)
     pos_tiled = pos_p.reshape(nq, 1, bt)
-    # invalid picks become -1 so the kernel's membership test skips them
-    # (the reference's idx==-1 skip, minicpm4_kvcache.cuh:133)
     tk = jnp.where(topk_valid, topk_idx, -1)
     if Tp != T:
         tk = jnp.pad(tk, ((0, 0), (0, Tp - T), (0, 0)), constant_values=-1)
     tk_tiled = tk.reshape(KVH, nq, bt, K)
 
-    grid = (KVH, nq)
+    def kv_index(h, qi, b, load_ref, visit_ref, limit_ref):
+        nqq = pl.num_programs(1)
+        nbb = pl.num_programs(2)
+        return (h, load_ref[(h * nqq + qi) * nbb + b], 0)
 
     kernel = functools.partial(
         _sparse_kernel,
@@ -295,36 +269,32 @@ def sparse_flash_mha(
     )
 
     if return_lse:
-        lse_spec = pl.BlockSpec((1, 1, rows, 128), lambda h, qi, *_: (h, qi, 0, 0))
+        lse_spec = pl.BlockSpec((1, 1, rows, 128), lambda h, qi, b, *_: (h, qi, 0, 0))
         lse_shape = jax.ShapeDtypeStruct((KVH, nq, rows, 128), jnp.float32)
     else:
-        lse_spec = pl.BlockSpec((1, 1, 8, 128), lambda h, qi, *_: (0, 0, 0, 0))
+        lse_spec = pl.BlockSpec((1, 1, 8, 128), lambda h, qi, b, *_: (0, 0, 0, 0))
         lse_shape = jax.ShapeDtypeStruct((1, 1, 8, 128), jnp.float32)
 
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=grid,
+            grid=(KVH, nq, nbk),
             in_specs=[
-                pl.BlockSpec((1, 1, rows, D), lambda h, qi, *_: (h, qi, 0, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, 1, bt, K), lambda h, qi, *_: (h, qi, 0, 0)),
-                pl.BlockSpec((1, 1, bt), lambda h, qi, *_: (qi, 0, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, 1, rows, D), lambda h, qi, b, *_: (h, qi, 0, 0)),
+                pl.BlockSpec((1, 1, bt, K), lambda h, qi, b, *_: (h, qi, 0, 0)),
+                pl.BlockSpec((1, 1, bt), lambda h, qi, b, *_: (qi, 0, 0)),
+                pl.BlockSpec((1, BK, D), kv_index),
+                pl.BlockSpec((1, BK, D), kv_index),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, rows, D), lambda h, qi, *_: (h, qi, 0, 0)),
+                pl.BlockSpec((1, 1, rows, D), lambda h, qi, b, *_: (h, qi, 0, 0)),
                 lse_spec,
             ],
             scratch_shapes=[
-                pltpu.SMEM((1, _round_up(NB, 128)), jnp.int32),
-                pltpu.VMEM((2, BLOCK, D), k_cache.dtype),
-                pltpu.VMEM((2, BLOCK, D), v_cache.dtype),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((rows, 128), jnp.float32),
+                pltpu.VMEM((rows, 128), jnp.float32),
+                pltpu.VMEM((rows, D), jnp.float32),
             ],
         ),
         out_shape=[
@@ -333,13 +303,13 @@ def sparse_flash_mha(
         ],
         interpret=interpret,
     )(
-        nvisit.reshape(-1), prior.reshape(1), limit.reshape(1),
-        qg, visit, tk_tiled, pos_tiled, k_cache, v_cache,
+        load_idx.reshape(-1), visited.reshape(-1), limit.reshape(1),
+        qg, tk_tiled, pos_tiled, k_cache, v_cache,
     )
 
     out = (
         out.reshape(KVH, nq, G, bt, D)
-        .transpose(1, 3, 0, 2, 4)  # (nq, bt, KVH, G, D)
+        .transpose(1, 3, 0, 2, 4)
         .reshape(Tp, H, D)[:T]
     )
     if not return_lse:
@@ -365,15 +335,11 @@ def mha_sparse(
 ):
     """Sparse-attention entry used by layers.attention on the selection path.
 
-    * Pallas path (TPU): one visit-list kernel pass for prefill/decode; for
+    * Pallas path (TPU): one visit-table kernel pass for prefill/decode; for
       tree decode, a history-only pass merged with the XLA tree block by LSE
       (the split-kv combine, like ops.flash.mha_flash).
     * XLA path (tests / non-TPU): materialized block mask via ops.attention.
     """
-    # Mosaic's manual-DMA slices require a 128-aligned lane dim, so the
-    # kernel path needs head_dim % 128 == 0 (MiniCPM4-8B's D=128 headline
-    # shape); other head dims take the XLA path until the K-block layout is
-    # re-tiled (TODO: (S*D/128, 128) cache view for D=64).
     d_ok = q.shape[-1] % 128 == 0
     use_pallas = impl in ("flash", "auto") and (
         (impl == "flash" and jax.default_backend() != "tpu")  # interpret test
