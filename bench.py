@@ -61,6 +61,8 @@ def bench_decode(cfg, eng, steps=64, warmup=8, prompt_len=128):
                 cfg, engine.params, engine.rope, engine.cache, tok, pos, engine.key,
                 k=seg, temperature=0.0, top_k=0, top_p=1.0,
                 attn_impl=engine.attn_impl, sparse_select=sparse,
+                kv_span=engine.kv_bucket(prompt_len + n + steps + 8),
+                unroll=engine.unroll_layers(1, prompt_len + n + steps + 8),
             )
             tok = toks[-1]
             pos = pos + seg

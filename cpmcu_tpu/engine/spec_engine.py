@@ -41,18 +41,19 @@ def _embed(base_cfg: ModelConfig, params, ids):
 
 def _expand_and_verify(
     base_cfg, ecfg, params, eparams, rope, cache, ekv, h_root, draft0, key,
-    *, temperature, top_k, top_p, attn_impl, sparse_select=False,
+    *, temperature, top_k, top_p, attn_impl, sparse_select=False, kv_span=None,
 ):
     orig = cache.length
     tree_tokens, tree_pos, tree_mask, tree_parent, ekv = eagle_draft(
-        ecfg, base_cfg, eparams, params, rope, ekv, h_root, orig, attn_impl
+        ecfg, base_cfg, eparams, params, rope, ekv, h_root, orig, attn_impl,
+        kv_span=kv_span,
     )
     tree_tokens = tree_tokens.at[0].set(jnp.asarray(draft0, jnp.int32))
 
     logits, cache, normed = llama.forward(
         base_cfg, params, rope, cache, tree_tokens, tree_pos, tree_mask,
         logits_mode="all", attn_impl=attn_impl, sparse_select=sparse_select,
-        return_hidden=True,
+        return_hidden=True, kv_span=kv_span,
     )
     if temperature == 0.0:
         gt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -82,7 +83,7 @@ def _expand_and_verify(
     jax.jit,
     static_argnames=(
         "base_cfg", "ecfg", "temperature", "top_k", "top_p", "attn_impl",
-        "sparse_select",
+        "sparse_select", "kv_span",
     ),
     donate_argnames=("cache", "ekv", "pend_embed", "pend_hidden"),
 )
@@ -95,7 +96,7 @@ def spec_prefill_chunk(
     chunk_tokens, positions, n_valid, logits_idx,
     pend_embed, pend_hidden, pend_valid, ehist,
     *, temperature=0.0, top_k=0, top_p=1.0, attn_impl="auto",
-    sparse_select: bool = False,
+    sparse_select: bool = False, kv_span=None,
 ):
     """Base prefill chunk + lagged draft prefill of the previous chunk
     (reference prefill lag: eagle.cuh:409-427)."""
@@ -106,6 +107,7 @@ def spec_prefill_chunk(
         base_cfg, params, rope, cache, chunk_tokens, positions,
         logits_idx=logits_idx, logits_mode="index",
         attn_impl=attn_impl, sparse_select=sparse_select, return_hidden=True,
+        kv_span=kv_span,
     )
 
     # draft-prefill the pending chunk; its missing last embed row is the
@@ -115,7 +117,7 @@ def spec_prefill_chunk(
     epos = ehist + jnp.arange(C, dtype=jnp.int32)
     _, ekv = eagle_layers(
         ecfg, eparams, x, epos, ekv, rope,
-        prior=ehist, write_at=ehist, attn_impl=attn_impl,
+        prior=ehist, write_at=ehist, attn_impl=attn_impl, kv_span=kv_span,
     )
 
     new_pend_embed = jnp.zeros_like(pend_embed).at[: C - 1].set(emb_cur[1:])
@@ -129,7 +131,7 @@ def spec_prefill_chunk(
     jax.jit,
     static_argnames=(
         "base_cfg", "ecfg", "temperature", "top_k", "top_p", "attn_impl",
-        "sparse_select",
+        "sparse_select", "kv_span",
     ),
     donate_argnames=("cache", "ekv", "pend_embed", "pend_hidden"),
 )
@@ -137,6 +139,7 @@ def spec_step_first(
     base_cfg, ecfg, params, eparams, rope, cache, ekv,
     pend_embed, pend_hidden, pend_valid, ehist, draft0, key,
     *, temperature, top_k, top_p, attn_impl, sparse_select: bool = False,
+    kv_span=None,
 ):
     """First draft after prefill: draft-prefill the final pending chunk with
     draft0's embedding appended, then expand/verify (eagle.cuh:434-438)."""
@@ -147,13 +150,13 @@ def spec_step_first(
     epos = ehist + jnp.arange(C, dtype=jnp.int32)
     h, ekv = eagle_layers(
         ecfg, eparams, x, epos, ekv, rope,
-        prior=ehist, write_at=ehist, attn_impl=attn_impl,
+        prior=ehist, write_at=ehist, attn_impl=attn_impl, kv_span=kv_span,
     )
     h_root = h[jnp.clip(pend_valid - 1, 0, C - 1)]
     return _expand_and_verify(
         base_cfg, ecfg, params, eparams, rope, cache, ekv, h_root, draft0, key,
         temperature=temperature, top_k=top_k, top_p=top_p, attn_impl=attn_impl,
-        sparse_select=sparse_select,
+        sparse_select=sparse_select, kv_span=kv_span,
     )
 
 
@@ -161,13 +164,14 @@ def spec_step_first(
     jax.jit,
     static_argnames=(
         "base_cfg", "ecfg", "temperature", "top_k", "top_p", "attn_impl",
-        "sparse_select",
+        "sparse_select", "kv_span",
     ),
     donate_argnames=("cache", "estate"),
 )
 def spec_step(
     base_cfg, ecfg, params, eparams, rope, cache, estate: EagleState, draft0, key,
     *, temperature, top_k, top_p, attn_impl, sparse_select: bool = False,
+    kv_span=None,
 ):
     """One draft -> tree-decode -> verify round (eagle_decode path)."""
     S = ecfg.tree_size
@@ -176,12 +180,13 @@ def spec_step(
     h, ekv = eagle_layers(
         ecfg, eparams, x, positions, estate.kv, rope,
         prior=estate.pos0, write_at=estate.pos0, attn_impl=attn_impl,
+        kv_span=kv_span,
     )
     h_root = h[jnp.clip(estate.num_prev - 1, 0, S - 1)]
     return _expand_and_verify(
         base_cfg, ecfg, params, eparams, rope, cache, ekv, h_root, draft0, key,
         temperature=temperature, top_k=top_k, top_p=top_p, attn_impl=attn_impl,
-        sparse_select=sparse_select,
+        sparse_select=sparse_select, kv_span=kv_span,
     )
 
 
@@ -189,7 +194,7 @@ def spec_step(
     jax.jit,
     static_argnames=(
         "base_cfg", "ecfg", "k", "temperature", "top_k", "top_p", "attn_impl",
-        "sparse_select",
+        "sparse_select", "kv_span",
     ),
     donate_argnames=("cache", "estate"),
 )
@@ -197,7 +202,7 @@ def spec_segment(
     base_cfg, ecfg, params, eparams, rope, cache, estate: EagleState,
     draft0, key,
     *, k: int, temperature, top_k, top_p, attn_impl,
-    sparse_select: bool = False,
+    sparse_select: bool = False, kv_span=None,
 ):
     """K spec rounds fused into one device program (the speculative analog
     of engine.decode_segment): host syncs once per K rounds instead of per
@@ -210,7 +215,7 @@ def spec_segment(
         emitted, alen, cache, estate, key, _ = spec_step.__wrapped__(
             base_cfg, ecfg, params, eparams, rope, cache, estate, d0, key,
             temperature=temperature, top_k=top_k, top_p=top_p,
-            attn_impl=attn_impl, sparse_select=sparse_select,
+            attn_impl=attn_impl, sparse_select=sparse_select, kv_span=kv_span,
         )
         nxt = emitted[jnp.clip(alen - 1, 0, emitted.shape[0] - 1)]
         return (cache, estate, nxt, key), (emitted, alen)
@@ -286,6 +291,7 @@ class SpecEngine(Engine):
                     jnp.asarray(n, jnp.int32), jnp.asarray(n - 1, jnp.int32),
                     self.pend_embed, self.pend_hidden, self.pend_valid, self.ehist,
                     attn_impl=self.attn_impl, sparse_select=self.sparse_engaged(),
+                    kv_span=self.kv_bucket(i + C + 8),
                 )
             )
             from ..cache.sparse_kv import commit_any
@@ -304,12 +310,15 @@ class SpecEngine(Engine):
     # -- spec generation -----------------------------------------------------
 
     def _spec_round(self, draft0: int):
+        S = self.ecfg.tree_size
+        margin = S + self.ecfg.topk_per_iter * self.ecfg.num_iter + 8
         kw = dict(
             temperature=self.eng.temperature,
             top_k=self.eng.top_k,
             top_p=self.eng.top_p,
             attn_impl=self.attn_impl,
             sparse_select=self.sparse_engaged(),
+            kv_span=self.kv_bucket(self.host_len + margin),
         )
         if self.estate is None:
             (emitted, accept_len, self.cache, self.estate, self.key,
@@ -335,6 +344,8 @@ class SpecEngine(Engine):
     def _spec_rounds(self, draft0: int, k: int):
         """K fused spec rounds, ONE host sync (spec_segment). Requires a
         live estate (i.e. not the first round after prefill)."""
+        S = self.ecfg.tree_size
+        margin = k * S + self.ecfg.topk_per_iter * self.ecfg.num_iter + 8
         emitted, alens, self.cache, self.estate, self.key = spec_segment(
             self.cfg, self.ecfg, self.params, self.eparams, self.rope,
             self.cache, self.estate,
@@ -345,6 +356,7 @@ class SpecEngine(Engine):
             top_p=self.eng.top_p,
             attn_impl=self.attn_impl,
             sparse_select=self.sparse_engaged(),
+            kv_span=self.kv_bucket(self.host_len + margin),
         )
         emitted = np.asarray(emitted)  # the one sync
         alens = np.asarray(alens)

@@ -98,3 +98,117 @@ def attention_block(
         )
     out = linear(p["wo"], out.reshape(T, cfg.num_heads * cfg.head_dim))
     return out, k_cache, v_cache
+
+
+def attention_block_zerocopy(
+    cfg: ModelConfig,
+    p: dict,  # this layer's params (unstacked)
+    x: jnp.ndarray,  # (T, H) already normed
+    positions: jnp.ndarray,
+    cache,  # full KVCache/SparseKVCache pytree (stacked, donated)
+    li: int,  # static layer index
+    rope_cos, rope_sin,
+    tree_mask=None,
+    window: int = 0,
+    sink: int = 0,
+    attn_impl: str = "auto",
+    sparse_select: bool = False,
+):
+    """Zero-copy decode attention: the history kernel reads the stacked
+    cache in place (static ``layer`` BlockSpec index), the T new rows attend
+    via an LSE-merged XLA block, and the caller scatters all layers' new
+    rows into the cache once. Returns (out, k_new (T,KVH,D), v_new).
+
+    This exists because funneling the cache through ``lax.scan`` (or
+    slicing it per layer) moves span-sized cache bytes every step — at long
+    context that dominates batch-1 decode."""
+    import jax
+
+    from ..ops.flash import merge_attn, new_block_attn
+
+    T = x.shape[0]
+    if "wqkv" in p:
+        qkv = linear(p["wqkv"], x)
+        q = qkv[:, : cfg.q_size].reshape(T, cfg.num_heads, cfg.head_dim)
+        k = qkv[:, cfg.q_size : cfg.q_size + cfg.kv_size].reshape(
+            T, cfg.num_kv_heads, cfg.head_dim
+        )
+        v = qkv[:, cfg.q_size + cfg.kv_size :].reshape(
+            T, cfg.num_kv_heads, cfg.head_dim
+        )
+    else:
+        q = linear(p["wq"], x).reshape(T, cfg.num_heads, cfg.head_dim)
+        k = linear(p["wk"], x).reshape(T, cfg.num_kv_heads, cfg.head_dim)
+        v = linear(p["wv"], x).reshape(T, cfg.num_kv_heads, cfg.head_dim)
+    if cfg.use_qk_norm:
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
+    q, k = apply_rope(q, k, rope_cos, rope_sin, positions)
+
+    prior = cache.length
+    use_kernel = (
+        attn_impl in ("flash", "auto")
+        and (attn_impl == "flash" or jax.default_backend() == "tpu")
+    )
+
+    if sparse_select:
+        from ..ops.sparse import select_blocks, stage1_scores
+        from ..ops.sparse_flash import BLOCK, sparse_flash_mha
+
+        scores = stage1_scores(
+            q, cache.c1[li], cache.c2[li],
+            c_len_of(prior, C1_STRIDE), c_len_of(prior, C2_STRIDE),
+            use_lse=cfg.use_compress_lse,
+        )
+        topk_idx, topk_valid, _ = select_blocks(
+            scores, positions, prior,
+            topk=cfg.sparse_topk_k,
+            init_blocks=cfg.sink_window_size,
+            local_blocks=cfg.block_window_size,
+        )
+        d_ok = cfg.head_dim % 128 == 0 and cache.max_length % 512 == 0
+        if use_kernel and (d_ok or jax.default_backend() != "tpu"):
+            out_h, lse_h = sparse_flash_mha(
+                q, cache.k, cache.v, prior, topk_idx, topk_valid, positions,
+                include_new=False, local_blocks=cfg.block_window_size,
+                return_lse=True, layer=li,
+            )
+        else:
+            from ..ops.attention import mha_xla
+            from ..ops.sparse import bits_from_topk, block_visibility
+
+            nb = cache.max_length // BLOCK
+            bits = bits_from_topk(topk_idx, topk_valid, nb)
+            bm = block_visibility(bits, positions,
+                                  local_blocks=cfg.block_window_size)
+            tm0 = jnp.zeros((T, T), jnp.bool_)  # hide new rows: history only
+            out_h, lse_h = mha_xla(
+                q, cache.k[li], cache.v[li], prior, tm0, bm, return_lse=True
+            )
+            lse_h = lse_h.T  # (H, T) -> (T, H)
+    else:
+        if use_kernel:
+            from ..ops.flash import flash_mha
+
+            out_h, lse_h = flash_mha(
+                q, cache.k, cache.v, prior,
+                causal=False, window=window, sink=sink, return_lse=True,
+                layer=li,
+            )
+        else:
+            from ..ops.attention import mha_xla
+
+            tm0 = jnp.zeros((T, T), jnp.bool_)
+            out_h, lse_h = mha_xla(
+                q, cache.k[li], cache.v[li], prior, tm0,
+                window=window, sink=sink, return_lse=True,
+            )
+            lse_h = lse_h.T
+
+    mask = tree_mask if tree_mask is not None else jnp.tril(
+        jnp.ones((T, T), jnp.bool_)
+    )
+    out_n, lse_n = new_block_attn(q, k, v, mask)
+    out = merge_attn(out_h, lse_h, out_n, lse_n)
+    out = linear(p["wo"], out.reshape(T, cfg.num_heads * cfg.head_dim))
+    return out, k, v

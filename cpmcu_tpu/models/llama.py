@@ -171,7 +171,7 @@ def forward_batch(cfg: ModelConfig, params: dict, tokens: jax.Array) -> jax.Arra
     jax.jit,
     static_argnames=(
         "cfg", "logits_mode", "window", "sink", "attn_impl",
-        "sparse_select", "return_hidden", "tap_layers",
+        "sparse_select", "return_hidden", "tap_layers", "kv_span", "unroll",
     ),
     donate_argnames=("cache",),
 )
@@ -200,6 +200,16 @@ def forward(
                                   # collect these layers' FFN sublayer
                                   # outputs (model.cuh:50-52,186-194) and
                                   # return them concatenated (T, len*H)
+    unroll: bool = False,  # unrolled layer loop: zero cache-copy per step
+                                  # (see below); bigger traces/compiles
+    kv_span: Optional[int] = None,  # static attention-span bucket: only the
+                                  # first kv_span cache rows flow through the
+                                  # layer scan and kernels, so per-step cost
+                                  # scales with the live context instead of
+                                  # the allocated capacity (the engine picks
+                                  # the bucket host-side — the analog of the
+                                  # reference's 128-padded graph recapture,
+                                  # entry.cu:540-562, at coarser buckets)
 ):
     """One forward pass of T tokens against the cache.
 
@@ -245,11 +255,61 @@ def forward(
         return (hidden, taps), (k_c, v_c)
 
     idxs = jnp.arange(cfg.num_layers, dtype=jnp.int32)
-    if is_sparse:
-        xs = (params["layers"], cache.k, cache.v, cache.c1, cache.c2, idxs)
+    span = kv_span if kv_span and kv_span < cache.max_length else None
+
+    if unroll:
+        # zero-copy decode: per-layer history kernels read the stacked
+        # donated cache IN PLACE (static layer BlockSpec index); the T new
+        # rows attend via an LSE-merged XLA block; all layers' new rows
+        # scatter into the cache in one dynamic_update_slice at the end.
+        # No span/capacity cache bytes move per step — the scan path stacks
+        # the whole scanned cache through xs/ys. Costs ~L x trace size; the
+        # engine picks this for decode-shaped calls on big caches.
+        from ..layers.attention import attention_block_zerocopy
+
+        taps = taps0
+        ks_new, vs_new = [], []
+        for li in range(cfg.num_layers):
+            p = jax.tree.map(lambda x: x[li], params["layers"])
+            normed = rms_norm(h, p["attn_norm"], cfg.rms_norm_eps)
+            attn_out, k_li, v_li = attention_block_zerocopy(
+                cfg, p, normed, positions, cache, li,
+                rope_cos, rope_sin, tree_mask, window, sink, attn_impl,
+                sparse_select=sparse_select,
+            )
+            h = h + attn_out * jnp.asarray(cfg.scale_residual, h.dtype)
+            normed = rms_norm(h, p["ffn_norm"], cfg.rms_norm_eps)
+            ffn_out = gated_ffn(p, normed)
+            if tap_layers and li in tap_layers:
+                taps = taps.at[tap_layers.index(li)].set(ffn_out)
+            h = h + ffn_out * jnp.asarray(cfg.scale_residual, h.dtype)
+            ks_new.append(k_li)
+            vs_new.append(v_li)
+        # (L, T, KVH, D) -> (L, KVH, T, D), one in-place scatter at length
+        k_stack = jnp.stack(ks_new).transpose(0, 2, 1, 3)
+        v_stack = jnp.stack(vs_new).transpose(0, 2, 1, 3)
+        start = jnp.asarray(cache.length, jnp.int32)
+        new_k = jax.lax.dynamic_update_slice(cache.k, k_stack, (0, 0, start, 0))
+        new_v = jax.lax.dynamic_update_slice(cache.v, v_stack, (0, 0, start, 0))
     else:
-        xs = (params["layers"], cache.k, cache.v, idxs)
-    (h, taps), (new_k, new_v) = jax.lax.scan(body, (h, taps0), xs)
+        ck, cv = cache.k, cache.v
+        if span is not None:
+            ck = jax.lax.slice_in_dim(ck, 0, span, axis=2)
+            cv = jax.lax.slice_in_dim(cv, 0, span, axis=2)
+        if is_sparse:
+            c1x, c2x = cache.c1, cache.c2
+            if span is not None:
+                c1x = jax.lax.slice_in_dim(c1x, 0, span // 16, axis=2)
+                c2x = jax.lax.slice_in_dim(c2x, 0, span // 64, axis=2)
+            xs = (params["layers"], ck, cv, c1x, c2x, idxs)
+        else:
+            xs = (params["layers"], ck, cv, idxs)
+        (h, taps), (new_k, new_v) = jax.lax.scan(body, (h, taps0), xs)
+        if span is not None:
+            # splice the span back into the full-capacity cache (in-place
+            # under donation; only span-sized bytes ever move per step)
+            new_k = jax.lax.dynamic_update_slice(cache.k, new_k, (0, 0, 0, 0))
+            new_v = jax.lax.dynamic_update_slice(cache.v, new_v, (0, 0, 0, 0))
     if is_sparse:
         new_cache = dataclasses.replace(cache, k=new_k, v=new_v)
     else:

@@ -119,7 +119,7 @@ def _flash_kernel(
     @pl.when(b < nb)
     def _compute():
         q = q_ref[0]
-        k = k_ref[0]
+        k = k_ref[...].reshape(k_ref.shape[-2], k_ref.shape[-1])
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (rows, bk)
@@ -141,8 +141,9 @@ def _flash_kernel(
         l_cur = jnp.sum(p, axis=1, keepdims=True)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_scr[:, :1] * alpha + l_cur
+        v = v_ref[...].reshape(v_ref.shape[-2], v_ref.shape[-1])
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
@@ -161,13 +162,14 @@ def _flash_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "causal", "window", "sink", "scale", "bk", "bqt", "return_lse", "interpret"
+        "causal", "window", "sink", "scale", "bk", "bqt", "return_lse",
+        "layer", "interpret",
     ),
 )
 def flash_mha(
     q: jax.Array,  # (T, H, D)
-    k_cache: jax.Array,  # (KVH, S, D)
-    v_cache: jax.Array,  # (KVH, S, D)
+    k_cache: jax.Array,  # (KVH, S, D) — or (L, KVH, S, D) with ``layer``
+    v_cache: jax.Array,  # same
     prior_len: jax.Array,  # scalar int32
     *,
     causal: bool = True,
@@ -177,6 +179,10 @@ def flash_mha(
     bk: int = DEFAULT_BK,
     bqt: int = DEFAULT_BQT,
     return_lse: bool = False,
+    layer: Optional[int] = None,  # static layer index into a stacked 4D
+                                  # cache: the kernel reads the big donated
+                                  # buffer directly (no per-layer slice copy
+                                  # — the zero-copy decode path)
     interpret: Optional[bool] = None,
 ):
     """Flash attention of T new queries over the cache.
@@ -189,7 +195,7 @@ def flash_mha(
     if interpret is None:
         interpret = _interpret_default()
     T, H, D = q.shape
-    KVH, S, _ = k_cache.shape
+    KVH, S, _ = k_cache.shape[-3:]
     G = H // KVH
     if scale is None:
         scale = 1.0 / math.sqrt(D)
@@ -222,13 +228,26 @@ def flash_mha(
     def q_index(h, qi, b, limit_ref, prior_ref):
         return (h, qi, 0)
 
-    def kv_index(h, qi, b, limit_ref, prior_ref):
-        if causal:
-            hi = jnp.minimum(limit_ref[0], prior_ref[0] + (qi + 1) * bqt)
-        else:
-            hi = limit_ref[0]
-        nb = jnp.maximum(pl.cdiv(hi, bk), 1)
-        return (h, jnp.minimum(b, nb - 1), 0)
+    if layer is None:
+        def kv_index(h, qi, b, limit_ref, prior_ref):
+            if causal:
+                hi = jnp.minimum(limit_ref[0], prior_ref[0] + (qi + 1) * bqt)
+            else:
+                hi = limit_ref[0]
+            nb = jnp.maximum(pl.cdiv(hi, bk), 1)
+            return (h, jnp.minimum(b, nb - 1), 0)
+
+        kv_block = (1, bk, D)
+    else:
+        def kv_index(h, qi, b, limit_ref, prior_ref):
+            if causal:
+                hi = jnp.minimum(limit_ref[0], prior_ref[0] + (qi + 1) * bqt)
+            else:
+                hi = limit_ref[0]
+            nb = jnp.maximum(pl.cdiv(hi, bk), 1)
+            return (layer, h, jnp.minimum(b, nb - 1), 0)
+
+        kv_block = (1, 1, bk, D)
 
     kernel = functools.partial(
         _flash_kernel,
@@ -251,8 +270,8 @@ def flash_mha(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, rows, D), q_index),
-                pl.BlockSpec((1, bk, D), kv_index),
-                pl.BlockSpec((1, bk, D), kv_index),
+                pl.BlockSpec(kv_block, kv_index),
+                pl.BlockSpec(kv_block, kv_index),
             ],
             out_specs=[
                 pl.BlockSpec((1, rows, D), q_index),
@@ -350,33 +369,38 @@ def mha_flash(
     return merge_attn(out_h, lse_h, out_t, lse_t)
 
 
+def new_block_attn(q, k_new, v_new, mask):
+    """Attention of T queries against the Km new keys (explicit (Km,KVH,D)
+    projection-layout k/v, not yet in the cache), masked by the (T, Km)
+    tree/causal mask. Returns (out (T,H,D), lse (T,H)) for ``merge_attn``
+    with a history pass — the zero-copy decode building block."""
+    T, H, D = q.shape
+    Km, KVH, _ = k_new.shape
+    G = H // KVH
+
+    qf = q.reshape(T, KVH, G, D).astype(jnp.float32)
+    s = jnp.einsum("tkgd,skd->kgts", qf, k_new.astype(jnp.float32))
+    s = s / jnp.sqrt(jnp.float32(D))
+    s = jnp.where(mask.astype(jnp.bool_)[None, None], s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    lsafe = jnp.where(l == 0.0, 1.0, l)
+    out = jnp.einsum("kgts,skd->tkgd", e / lsafe, v_new.astype(jnp.float32))
+    lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(lsafe)).squeeze(-1)
+    out = out.reshape(T, H, D).astype(q.dtype)
+    lse = lse.transpose(2, 0, 1).reshape(T, H)
+    return out, lse
+
+
 def _tree_block_attn(q, k_cache, v_cache, prior_len, tree_mask, *, window, sink):
     """Attention of the T new queries against the Km masked keys at
     [prior, prior+Km), masked by the (T, Km) tree/ancestor mask. Km == T for
     base-model tree verification; Km = topk*d > T in the EAGLE expansion."""
-    T, H, D = q.shape
     Km = tree_mask.shape[1]
-    KVH = k_cache.shape[0]
-    G = H // KVH
     prior = jnp.asarray(prior_len, jnp.int32)
-
     k_new = jax.lax.dynamic_slice_in_dim(k_cache, prior, Km, axis=1)  # (KVH,Km,D)
     v_new = jax.lax.dynamic_slice_in_dim(v_cache, prior, Km, axis=1)
-
-    qf = q.reshape(T, KVH, G, D).astype(jnp.float32)
-    s = jnp.einsum("tkgd,ksd->kgts", qf, k_new.astype(jnp.float32))
-    s = s / jnp.sqrt(jnp.float32(D))
-    mask = tree_mask.astype(jnp.bool_)  # (T, T)
-    if window > 0:
-        # new keys are within the window of each other by construction
-        # (tree depth « window); nothing extra to mask here.
-        pass
-    s = jnp.where(mask[None, None], s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    l = jnp.sum(e, axis=-1, keepdims=True)
-    out = jnp.einsum("kgts,ksd->tkgd", e / l, v_new.astype(jnp.float32))
-    lse = (m + jnp.log(l)).squeeze(-1)  # (KVH, G, T)
-    out = out.reshape(T, H, D).astype(q.dtype)
-    lse = lse.transpose(2, 0, 1).reshape(T, H)
-    return out, lse
+    return new_block_attn(
+        q, jnp.swapaxes(k_new, 0, 1), jnp.swapaxes(v_new, 0, 1), tree_mask
+    )

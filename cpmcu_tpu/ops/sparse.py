@@ -131,6 +131,7 @@ def stage1_scores(
     if scale is None:
         scale = 1.0 / math.sqrt(D)
 
+    bt = min(bt, (T + 7) // 8 * 8)  # decode: don't pad 1 query to 128
     Tp = (T + bt - 1) // bt * bt
     qp = jnp.pad(q, ((0, Tp - T), (0, 0), (0, 0))) if Tp != T else q
     qg = qp.reshape(Tp // bt, bt, KVH, G, D).astype(jnp.float32)

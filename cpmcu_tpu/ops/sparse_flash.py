@@ -99,6 +99,29 @@ def build_visit_tables(
     return load_idx, visited.astype(jnp.int32)
 
 
+def compact_visit_tables(load_idx, visited, nbv: int):
+    """Shrink the KV grid to ``nbv`` steps by enumerating visited tiles.
+
+    For decode-shaped calls the full tile grid is mostly skipped steps
+    (96K ctx: 192 steps, ~11 visited); a compacted grid walks exactly the
+    visited tiles (ascending), padding by repeating the last one (DMA
+    elided). Only valid when nbv >= max visited count, which the caller
+    guarantees from the selection bound."""
+    KVH, nq, nbk = visited.shape
+    t_idx = jnp.arange(nbk, dtype=jnp.int32)
+    order = jnp.argsort(
+        jnp.where(visited.astype(bool), t_idx, nbk + t_idx), axis=-1
+    ).astype(jnp.int32)[..., :nbv]
+    nvis = visited.sum(axis=-1, dtype=jnp.int32)  # (KVH, nq)
+    b = jnp.arange(nbv, dtype=jnp.int32)
+    vis_c = (b[None, None, :] < nvis[..., None]).astype(jnp.int32)
+    last = jnp.take_along_axis(
+        order, jnp.clip(nvis - 1, 0, nbv - 1)[..., None], axis=-1
+    )
+    load_c = jnp.where(vis_c.astype(bool), order, last)
+    return load_c, vis_c
+
+
 # ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
@@ -146,7 +169,7 @@ def _sparse_kernel(
     def _compute():
         tile = load_ref[flat]  # actual KV-tile index mapped this step
         q = q_ref[0, 0]
-        k = k_ref[0]
+        k = k_ref[...].reshape(k_ref.shape[-2], k_ref.shape[-1])
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (rows, BK)
@@ -172,8 +195,9 @@ def _sparse_kernel(
         l_scr[:] = jnp.broadcast_to(
             l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True), l_scr.shape
         )
+        v = v_ref[...].reshape(v_ref.shape[-2], v_ref.shape[-1])
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
@@ -191,13 +215,14 @@ def _sparse_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "include_new", "local_blocks", "return_lse", "scale", "bt", "interpret"
+        "include_new", "local_blocks", "return_lse", "scale", "bt", "layer",
+        "interpret",
     ),
 )
 def sparse_flash_mha(
     q: jax.Array,  # (T, H, D)
-    k_cache: jax.Array,  # (KVH, S, D)
-    v_cache: jax.Array,  # (KVH, S, D)
+    k_cache: jax.Array,  # (KVH, S, D) — or (L, KVH, S, D) with ``layer``
+    v_cache: jax.Array,  # same
     prior_len: jax.Array,  # scalar int32 history length
     topk_idx: jax.Array,  # (KVH, T, K) selected block ids
     topk_valid: jax.Array,  # (KVH, T, K) bool
@@ -209,12 +234,14 @@ def sparse_flash_mha(
     return_lse: bool = False,
     scale: Optional[float] = None,
     bt: Optional[int] = None,
+    layer: Optional[int] = None,  # static layer index into a stacked cache
+                                  # (zero-copy decode; see ops.flash)
     interpret: Optional[bool] = None,
 ):
     if interpret is None:
         interpret = _interpret_default()
     T, H, D = q.shape
-    KVH, S, _ = k_cache.shape
+    KVH, S, _ = k_cache.shape[-3:]
     G = H // KVH
     NB = S // BLOCK
     K = topk_idx.shape[-1]
@@ -235,6 +262,12 @@ def sparse_flash_mha(
         local_blocks=local_blocks,
     )
     nbk = load_idx.shape[-1]
+    # decode-shaped calls: bound on distinct visited tiles per query tile =
+    # T selections * K blocks + window + sink/boundary slack, in tile units
+    nbv = min(nbk, T * K + local_blocks + 3)
+    if nbv < nbk:
+        load_idx, visited = compact_visit_tables(load_idx, visited, nbv)
+    ngrid = load_idx.shape[-1]
     Sp = nbk * BK
     if Sp != S:
         k_cache = jnp.pad(k_cache, ((0, 0), (0, Sp - S), (0, 0)))
@@ -257,10 +290,20 @@ def sparse_flash_mha(
         tk = jnp.pad(tk, ((0, 0), (0, Tp - T), (0, 0)), constant_values=-1)
     tk_tiled = tk.reshape(KVH, nq, bt, K)
 
-    def kv_index(h, qi, b, load_ref, visit_ref, limit_ref):
-        nqq = pl.num_programs(1)
-        nbb = pl.num_programs(2)
-        return (h, load_ref[(h * nqq + qi) * nbb + b], 0)
+    if layer is None:
+        def kv_index(h, qi, b, load_ref, visit_ref, limit_ref):
+            nqq = pl.num_programs(1)
+            nbb = pl.num_programs(2)
+            return (h, load_ref[(h * nqq + qi) * nbb + b], 0)
+
+        kv_block = (1, BK, D)
+    else:
+        def kv_index(h, qi, b, load_ref, visit_ref, limit_ref):
+            nqq = pl.num_programs(1)
+            nbb = pl.num_programs(2)
+            return (layer, h, load_ref[(h * nqq + qi) * nbb + b], 0)
+
+        kv_block = (1, 1, BK, D)
 
     kernel = functools.partial(
         _sparse_kernel,
@@ -279,13 +322,13 @@ def sparse_flash_mha(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(KVH, nq, nbk),
+            grid=(KVH, nq, ngrid),
             in_specs=[
                 pl.BlockSpec((1, 1, rows, D), lambda h, qi, b, *_: (h, qi, 0, 0)),
                 pl.BlockSpec((1, 1, bt, K), lambda h, qi, b, *_: (h, qi, 0, 0)),
                 pl.BlockSpec((1, 1, bt), lambda h, qi, b, *_: (qi, 0, 0)),
-                pl.BlockSpec((1, BK, D), kv_index),
-                pl.BlockSpec((1, BK, D), kv_index),
+                pl.BlockSpec(kv_block, kv_index),
+                pl.BlockSpec(kv_block, kv_index),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, rows, D), lambda h, qi, b, *_: (h, qi, 0, 0)),

@@ -118,6 +118,9 @@ def add_server_args(parser: argparse.ArgumentParser):
     s = parser.add_argument_group("Server")
     _opt(s, "host", type=str, default="0.0.0.0")
     _opt(s, "port", type=int, default=8000)
+    _opt(s, "max_batch", type=int, default=0,
+         help="continuous-batching slots (0 = single-sequence engine, "
+              "requests serialize like the reference server)")
     return parser
 
 

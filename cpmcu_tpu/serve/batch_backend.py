@@ -1,0 +1,123 @@
+"""Continuous-batching chat backend: concurrent requests share the batch.
+
+The reference server serializes requests on one global model
+(cpmcu/server.py:34); this backend multiplexes them through
+``engine.batch_engine.ContinuousBatchingEngine`` instead — a pump thread
+advances the scheduler and fans StepEvents out to per-request queues, so N
+concurrent HTTP requests decode together in lockstep (BASELINE config 5's
+continuous batching, in the serving path).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+from .logging import logger
+from .openai_api import (
+    ChatCompletionRequest,
+    chat_completion_chunk,
+    chat_completion_response,
+    completion_id,
+)
+from .server import ChatBackend, _sse
+
+
+class BatchChatBackend(ChatBackend):
+    """ChatBackend over a ContinuousBatchingEngine.
+
+    Temperature is engine-global per scheduler (requests in one batch share
+    sampling params — per-request temperature would need per-slot sampling,
+    a TODO); the OpenAI fields are accepted and logged.
+    """
+
+    def __init__(self, engine, tokenizer, model_name: str = "cpmcu-tpu",
+                 default_generation_length: int = 512):
+        super().__init__(engine, tokenizer, model_name,
+                         default_generation_length)
+        self._queues: Dict[int, "queue.Queue"] = {}
+        self._pump_lock = threading.Lock()
+        self._pump_thread: Optional[threading.Thread] = None
+
+    # -- scheduler pump --------------------------------------------------------
+
+    def _ensure_pump(self):
+        with self._pump_lock:
+            if self._pump_thread is None or not self._pump_thread.is_alive():
+                self._pump_thread = threading.Thread(
+                    target=self._pump, daemon=True
+                )
+                self._pump_thread.start()
+
+    def _pump(self):
+        """Drive the scheduler while work exists; exit when idle."""
+        while True:
+            with self.lock:
+                if not self.engine.has_work:
+                    self._pump_thread = None
+                    return
+                events = self.engine.step()
+            for ev in events:
+                q = self._queues.get(ev.request_id)
+                if q is not None:
+                    q.put(ev)
+
+    def _submit(self, req: ChatCompletionRequest):
+        ids = self._encode(req)
+        q: "queue.Queue" = queue.Queue()
+        with self.lock:
+            rid = self.engine.submit(
+                ids, max_new_tokens=req.max_tokens,
+                terminators=self._terminators(),
+            )
+            self._queues[rid] = q
+        self._ensure_pump()
+        return rid, q, len(ids)
+
+    def _events(self, rid, q):
+        while True:
+            ev = q.get(timeout=600)
+            yield ev
+            if ev.finished:
+                self._queues.pop(rid, None)
+                return
+
+    # -- API --------------------------------------------------------------------
+
+    def completion(self, req: ChatCompletionRequest) -> Dict:
+        rid, q, n_prompt = self._submit(req)
+        toks = []
+        terms = set(self._terminators())
+        for ev in self._events(rid, q):
+            if ev.token not in terms:
+                toks.append(ev.token)
+        text = self.tokenizer.decode(toks, skip_special_tokens=True)
+        finish = "stop" if len(toks) < req.max_tokens else "length"
+        return chat_completion_response(
+            completion_id(), self.model_name, text, finish, n_prompt, len(toks)
+        )
+
+    def stream(self, req: ChatCompletionRequest) -> Iterator[str]:
+        cid = completion_id()
+        yield _sse(chat_completion_chunk(
+            cid, self.model_name, {"role": "assistant", "content": ""}, None
+        ))
+        rid, q, _ = self._submit(req)
+        terms = set(self._terminators())
+        buf, emitted = [], ""
+        n = 0
+        for ev in self._events(rid, q):
+            n += 1
+            if ev.token not in terms:
+                buf.append(ev.token)
+                text = self.tokenizer.decode(buf, skip_special_tokens=True)
+                if not text.endswith("�") and len(text) > len(emitted):
+                    yield _sse(chat_completion_chunk(
+                        cid, self.model_name, {"content": text[len(emitted):]},
+                        None,
+                    ))
+                    emitted = text
+        finish = "stop" if n < req.max_tokens else "length"
+        yield _sse(chat_completion_chunk(cid, self.model_name, {}, finish))
+        yield "data: [DONE]\n\n"

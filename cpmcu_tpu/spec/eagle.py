@@ -128,6 +128,7 @@ def eagle_layers(
     write_at,  # KV write offset
     tree_mask=None,
     attn_impl: str = "auto",
+    kv_span=None,  # static span bucket (models/llama.py kv_span semantics)
 ):
     """Draft decoder layers over the draft KV; returns (hidden, new kv).
 
@@ -138,6 +139,11 @@ def eagle_layers(
     rope_cos, rope_sin = rope
     L = ep["layers"]["attn_norm"].shape[0]
     idxs = jnp.arange(L, dtype=jnp.int32)
+    span = kv_span if kv_span and kv_span < kv.max_length else None
+    kvk, kvv = kv.k, kv.v
+    if span is not None:
+        kvk = jax.lax.slice_in_dim(kvk, 0, span, axis=2)
+        kvv = jax.lax.slice_in_dim(kvv, 0, span, axis=2)
 
     def body(hidden, xs):
         p, k_c, v_c, li = xs
@@ -155,7 +161,10 @@ def eagle_layers(
         hidden = hidden + ffn_out * jnp.asarray(m.scale_residual, hidden.dtype)
         return hidden, (k_c, v_c)
 
-    h, (nk, nv) = jax.lax.scan(body, x, (ep["layers"], kv.k, kv.v, idxs))
+    h, (nk, nv) = jax.lax.scan(body, x, (ep["layers"], kvk, kvv, idxs))
+    if span is not None:
+        nk = jax.lax.dynamic_update_slice(kv.k, nk, (0, 0, 0, 0))
+        nv = jax.lax.dynamic_update_slice(kv.v, nv, (0, 0, 0, 0))
     return h, KVCache(nk, nv, kv.length)
 
 
@@ -194,6 +203,7 @@ def eagle_draft(
     h_root,  # (H,) draft hidden at the root (last accepted token)
     orig,  # int32: base cache length (tree root position)
     attn_impl: str = "auto",
+    kv_span=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, KVCache]:
     """Grow the draft tree. Returns (tree_tokens (S,), tree_pos (S,),
     tree_mask (S,S) bool, tree_parent (S,), new draft kv).
@@ -233,6 +243,7 @@ def eagle_draft(
             ecfg, ep, x, positions, ekv, rope,
             prior=orig, write_at=orig + K * (d - 1),
             tree_mask=emask[:, : K * d], attn_impl=attn_impl,
+            kv_span=kv_span,
         )
         lp = draft_logits(ecfg, ep, base_params, base_cfg, h)  # (K, Vfr)
         val, tok = jax.lax.top_k(lp, K)  # (K, K)

@@ -267,3 +267,56 @@ def test_server_rejects_bad_request(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(server + "/v1/chat/completions", {"model": "tiny", "messages": []})
     assert ei.value.code == 400
+
+
+# ---------------------------------------------------------------------------
+# continuous-batching server backend
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def batch_server(tiny_engine):
+    from cpmcu_tpu.core.config import EngineConfig
+    from cpmcu_tpu.engine.batch_engine import ContinuousBatchingEngine
+    from cpmcu_tpu.serve.batch_backend import BatchChatBackend
+    from cpmcu_tpu.serve.server import make_stdlib_server
+
+    engine, _ = tiny_engine
+    be = ContinuousBatchingEngine(
+        engine.cfg, EngineConfig(chunk_length=32, max_total_length=512),
+        engine.params, max_batch=4, attn_impl="xla",
+    )
+    backend = BatchChatBackend(be, FakeTokenizer(), model_name="tiny-batch")
+    httpd = make_stdlib_server(backend, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def test_batch_server_concurrent_requests(batch_server):
+    """Concurrent HTTP requests decode together through the scheduler."""
+    import concurrent.futures
+
+    def ask(i):
+        with _post(batch_server + "/v1/chat/completions", {
+            "model": "tiny-batch", "max_tokens": 6,
+            "messages": [{"role": "user", "content": f"prompt {i}"}],
+        }) as r:
+            return json.loads(r.read())
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=3) as ex:
+        outs = list(ex.map(ask, range(3)))
+    for out in outs:
+        assert out["object"] == "chat.completion"
+        assert out["usage"]["completion_tokens"] >= 1
+
+
+def test_batch_server_stream(batch_server):
+    with _post(batch_server + "/v1/chat/completions", {
+        "model": "tiny-batch", "max_tokens": 5, "stream": True,
+        "messages": [{"role": "user", "content": "hello"}],
+    }) as r:
+        body = r.read().decode()
+    events = [l[6:] for l in body.splitlines() if l.startswith("data: ")]
+    assert events[-1] == "[DONE]"
