@@ -36,6 +36,7 @@ class KVCache:
     @staticmethod
     def create(cfg: ModelConfig, budget: int, num_layers: Optional[int] = None) -> "KVCache":
         L = num_layers if num_layers is not None else cfg.num_layers
+        budget = max(512, (budget + 511) // 512 * 512)
         shape = (L, cfg.num_kv_heads, budget, cfg.head_dim)
         return KVCache(
             k=jnp.zeros(shape, cfg.jnp_dtype),

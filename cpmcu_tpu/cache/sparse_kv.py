@@ -48,7 +48,7 @@ class SparseKVCache:
     @staticmethod
     def create(cfg: ModelConfig, budget: int, num_layers: Optional[int] = None) -> "SparseKVCache":
         L = num_layers if num_layers is not None else cfg.num_layers
-        budget = (budget // 64) * 64
+        budget = max(512, (budget // 512) * 512)
         shape = (L, cfg.num_kv_heads, budget, cfg.head_dim)
         dt = cfg.jnp_dtype
         return SparseKVCache(

@@ -89,6 +89,7 @@ def solve_kv_budget(
             f"KV cache within memory_limit={eng.memory_limit}"
         )
     n = budget_bytes // per_tok - 1
-    # round down to a 128 multiple (tile-friendly; the reference pads decode
-    # lengths to 128 the same way, llm.py:244-245)
-    return int(max(128, (n // 128) * 128))
+    # round down to a 512 multiple: KV-kernel tile friendly (ops.flash BK /
+    # ops.sparse_flash BK = 512; the reference pads decode lengths to 128,
+    # llm.py:244-245)
+    return int(max(512, (n // 512) * 512))

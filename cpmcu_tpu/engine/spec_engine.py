@@ -42,6 +42,7 @@ def _embed(base_cfg: ModelConfig, params, ids):
 def _expand_and_verify(
     base_cfg, ecfg, params, eparams, rope, cache, ekv, h_root, draft0, key,
     *, temperature, top_k, top_p, attn_impl, sparse_select=False, kv_span=None,
+    unroll=False,
 ):
     orig = cache.length
     tree_tokens, tree_pos, tree_mask, tree_parent, ekv = eagle_draft(
@@ -53,7 +54,7 @@ def _expand_and_verify(
     logits, cache, normed = llama.forward(
         base_cfg, params, rope, cache, tree_tokens, tree_pos, tree_mask,
         logits_mode="all", attn_impl=attn_impl, sparse_select=sparse_select,
-        return_hidden=True, kv_span=kv_span,
+        return_hidden=True, kv_span=kv_span, unroll=unroll,
     )
     if temperature == 0.0:
         gt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -83,7 +84,7 @@ def _expand_and_verify(
     jax.jit,
     static_argnames=(
         "base_cfg", "ecfg", "temperature", "top_k", "top_p", "attn_impl",
-        "sparse_select", "kv_span",
+        "sparse_select", "kv_span", "unroll",
     ),
     donate_argnames=("cache", "ekv", "pend_embed", "pend_hidden"),
 )
@@ -96,7 +97,7 @@ def spec_prefill_chunk(
     chunk_tokens, positions, n_valid, logits_idx,
     pend_embed, pend_hidden, pend_valid, ehist,
     *, temperature=0.0, top_k=0, top_p=1.0, attn_impl="auto",
-    sparse_select: bool = False, kv_span=None,
+    sparse_select: bool = False, kv_span=None, unroll: bool = False,
 ):
     """Base prefill chunk + lagged draft prefill of the previous chunk
     (reference prefill lag: eagle.cuh:409-427)."""
@@ -131,7 +132,7 @@ def spec_prefill_chunk(
     jax.jit,
     static_argnames=(
         "base_cfg", "ecfg", "temperature", "top_k", "top_p", "attn_impl",
-        "sparse_select", "kv_span",
+        "sparse_select", "kv_span", "unroll",
     ),
     donate_argnames=("cache", "ekv", "pend_embed", "pend_hidden"),
 )
@@ -139,7 +140,7 @@ def spec_step_first(
     base_cfg, ecfg, params, eparams, rope, cache, ekv,
     pend_embed, pend_hidden, pend_valid, ehist, draft0, key,
     *, temperature, top_k, top_p, attn_impl, sparse_select: bool = False,
-    kv_span=None,
+    kv_span=None, unroll: bool = False,
 ):
     """First draft after prefill: draft-prefill the final pending chunk with
     draft0's embedding appended, then expand/verify (eagle.cuh:434-438)."""
@@ -156,7 +157,7 @@ def spec_step_first(
     return _expand_and_verify(
         base_cfg, ecfg, params, eparams, rope, cache, ekv, h_root, draft0, key,
         temperature=temperature, top_k=top_k, top_p=top_p, attn_impl=attn_impl,
-        sparse_select=sparse_select, kv_span=kv_span,
+        sparse_select=sparse_select, kv_span=kv_span, unroll=unroll,
     )
 
 
@@ -164,14 +165,14 @@ def spec_step_first(
     jax.jit,
     static_argnames=(
         "base_cfg", "ecfg", "temperature", "top_k", "top_p", "attn_impl",
-        "sparse_select", "kv_span",
+        "sparse_select", "kv_span", "unroll",
     ),
     donate_argnames=("cache", "estate"),
 )
 def spec_step(
     base_cfg, ecfg, params, eparams, rope, cache, estate: EagleState, draft0, key,
     *, temperature, top_k, top_p, attn_impl, sparse_select: bool = False,
-    kv_span=None,
+    kv_span=None, unroll: bool = False,
 ):
     """One draft -> tree-decode -> verify round (eagle_decode path)."""
     S = ecfg.tree_size
@@ -186,7 +187,7 @@ def spec_step(
     return _expand_and_verify(
         base_cfg, ecfg, params, eparams, rope, cache, ekv, h_root, draft0, key,
         temperature=temperature, top_k=top_k, top_p=top_p, attn_impl=attn_impl,
-        sparse_select=sparse_select, kv_span=kv_span,
+        sparse_select=sparse_select, kv_span=kv_span, unroll=unroll,
     )
 
 
@@ -194,7 +195,7 @@ def spec_step(
     jax.jit,
     static_argnames=(
         "base_cfg", "ecfg", "k", "temperature", "top_k", "top_p", "attn_impl",
-        "sparse_select", "kv_span",
+        "sparse_select", "kv_span", "unroll",
     ),
     donate_argnames=("cache", "estate"),
 )
@@ -202,7 +203,7 @@ def spec_segment(
     base_cfg, ecfg, params, eparams, rope, cache, estate: EagleState,
     draft0, key,
     *, k: int, temperature, top_k, top_p, attn_impl,
-    sparse_select: bool = False, kv_span=None,
+    sparse_select: bool = False, kv_span=None, unroll: bool = False,
 ):
     """K spec rounds fused into one device program (the speculative analog
     of engine.decode_segment): host syncs once per K rounds instead of per
@@ -216,6 +217,7 @@ def spec_segment(
             base_cfg, ecfg, params, eparams, rope, cache, estate, d0, key,
             temperature=temperature, top_k=top_k, top_p=top_p,
             attn_impl=attn_impl, sparse_select=sparse_select, kv_span=kv_span,
+            unroll=unroll,
         )
         nxt = emitted[jnp.clip(alen - 1, 0, emitted.shape[0] - 1)]
         return (cache, estate, nxt, key), (emitted, alen)
@@ -319,6 +321,7 @@ class SpecEngine(Engine):
             attn_impl=self.attn_impl,
             sparse_select=self.sparse_engaged(),
             kv_span=self.kv_bucket(self.host_len + margin),
+            unroll=self.unroll_layers(S, self.host_len + margin),
         )
         if self.estate is None:
             (emitted, accept_len, self.cache, self.estate, self.key,
@@ -357,6 +360,7 @@ class SpecEngine(Engine):
             attn_impl=self.attn_impl,
             sparse_select=self.sparse_engaged(),
             kv_span=self.kv_bucket(self.host_len + margin),
+            unroll=self.unroll_layers(S, self.host_len + margin),
         )
         emitted = np.asarray(emitted)  # the one sync
         alens = np.asarray(alens)
