@@ -143,17 +143,15 @@ class Engine:
     # -- steps -------------------------------------------------------------
 
     def unroll_layers(self, T: int, needed: int = 0) -> bool:
-        """Zero-copy unrolled layers for decode-shaped calls at long live
-        context: the scan path moves span-sized cache bytes per step, which
-        dominates once the span bucket is large (measured on 8B: span path
-        40.7 tok/s at 128-ctx/98K-cap, zero-copy 36.7; at 96K live ctx
-        zero-copy 24.0 vs span 16.5)."""
-        needed = needed or (self.host_len + T)
-        return (
-            T <= 64
-            and self.cache.max_length >= 16384
-            and needed >= 8192
-        )
+        """Zero-copy unrolled layers for ALL decode-shaped calls: scanning
+        stacked weights dynamic-slice-copies every layer's tensors each
+        step (profiled at 11.1ms/token of the 8B's 21.7 — the single
+        largest decode cost); unrolled layers reference weights in place
+        and the kernels read the stacked cache in place, with the engine's
+        kv bucket bounding the kernel grid (``span``) so large capacities
+        cost nothing. Prefill keeps the scan: weight slicing amortizes
+        over the chunk and the scan compiles L times faster."""
+        return T <= 64
 
     def _forward(self, tokens, positions, tree_mask=None, logits_idx=None,
                  logits_mode="all"):

@@ -102,7 +102,9 @@ def attention_block(
 
 def attention_block_zerocopy(
     cfg: ModelConfig,
-    p: dict,  # this layer's params (unstacked)
+    p: dict,  # STACKED (L, ...) layer params; indexed by ``li`` in place
+              # (the quant kernel reads them via its BlockSpec — slicing
+              # stacked weights per layer copies them, ~12ms/token on 8B)
     x: jnp.ndarray,  # (T, H) already normed
     positions: jnp.ndarray,
     cache,  # full KVCache/SparseKVCache pytree (stacked, donated)
@@ -113,6 +115,9 @@ def attention_block_zerocopy(
     sink: int = 0,
     attn_impl: str = "auto",
     sparse_select: bool = False,
+    span: int = 0,  # static bucket bounding valid cache rows (engine
+                    # kv_bucket); sizes the dense kernel's KV grid so big
+                    # capacities cost no skipped grid steps
 ):
     """Zero-copy decode attention: the history kernel reads the stacked
     cache in place (static ``layer`` BlockSpec index), the T new rows attend
@@ -128,7 +133,7 @@ def attention_block_zerocopy(
 
     T = x.shape[0]
     if "wqkv" in p:
-        qkv = linear(p["wqkv"], x)
+        qkv = linear(p["wqkv"], x, li)
         q = qkv[:, : cfg.q_size].reshape(T, cfg.num_heads, cfg.head_dim)
         k = qkv[:, cfg.q_size : cfg.q_size + cfg.kv_size].reshape(
             T, cfg.num_kv_heads, cfg.head_dim
@@ -137,12 +142,12 @@ def attention_block_zerocopy(
             T, cfg.num_kv_heads, cfg.head_dim
         )
     else:
-        q = linear(p["wq"], x).reshape(T, cfg.num_heads, cfg.head_dim)
-        k = linear(p["wk"], x).reshape(T, cfg.num_kv_heads, cfg.head_dim)
-        v = linear(p["wv"], x).reshape(T, cfg.num_kv_heads, cfg.head_dim)
+        q = linear(p["wq"], x, li).reshape(T, cfg.num_heads, cfg.head_dim)
+        k = linear(p["wk"], x, li).reshape(T, cfg.num_kv_heads, cfg.head_dim)
+        v = linear(p["wv"], x, li).reshape(T, cfg.num_kv_heads, cfg.head_dim)
     if cfg.use_qk_norm:
-        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
-        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
+        q = rms_norm(q, p["q_norm"][li], cfg.rms_norm_eps)
+        k = rms_norm(k, p["k_norm"][li], cfg.rms_norm_eps)
     q, k = apply_rope(q, k, rope_cos, rope_sin, positions)
 
     prior = cache.length
@@ -193,7 +198,7 @@ def attention_block_zerocopy(
             out_h, lse_h = flash_mha(
                 q, cache.k, cache.v, prior,
                 causal=False, window=window, sink=sink, return_lse=True,
-                layer=li,
+                layer=li, span=span or None,
             )
         else:
             from ..ops.attention import mha_xla
@@ -210,5 +215,5 @@ def attention_block_zerocopy(
     )
     out_n, lse_n = new_block_attn(q, k, v, mask)
     out = merge_attn(out_h, lse_h, out_n, lse_n)
-    out = linear(p["wo"], out.reshape(T, cfg.num_heads * cfg.head_dim))
+    out = linear(p["wo"], out.reshape(T, cfg.num_heads * cfg.head_dim), li)
     return out, k, v

@@ -36,17 +36,22 @@ def add_rms_norm(x, residual, weight, eps: float):
     return rms_norm(s, weight, eps), s
 
 
-def linear(p: dict, x):
+def linear(p: dict, x, layer=None):
     """Dense or W4A16 linear. ``p`` is {'w': (in,out)[, 'b': (out,)]} or a
-    quantized pack {'q','s'} handled by ops.quant."""
+    quantized pack {'q','s'} handled by ops.quant. With ``layer`` (static),
+    ``p`` holds stacked (L, ...) tensors read in place — the quant kernel
+    indexes them via its BlockSpec so no per-layer slice copy happens (the
+    zero-copy decode path)."""
     if "q" in p:
         from ..ops.quant import quant_matmul
 
-        y = quant_matmul(x, p["q"], p["s"])
+        y = quant_matmul(x, p["q"], p["s"], layer=layer)
     else:
-        y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32).astype(x.dtype)
+        w = p["w"] if layer is None else p["w"][layer]
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
     if "b" in p:
-        y = y + p["b"]
+        b = p["b"] if layer is None else p["b"][layer]
+        y = y + b
     return y
 
 
@@ -65,17 +70,17 @@ def lm_head(p: dict, x, scale_lmhead: float):
     return linear(p, x)
 
 
-def gated_ffn(p: dict, x):
+def gated_ffn(p: dict, x, layer=None):
     """norm -> gate/up -> SiLU(gate)*up -> down (ffn.cuh:77-84). Supports a
     fused [gate|up] projection (the reference's gateup GEMM +
     gated_silu_interleaved, activation.cuh:5-40 — ours concatenates on N
     instead of interleaving)."""
     if "w_gateup" in p:
-        gu = linear(p["w_gateup"], x)
+        gu = linear(p["w_gateup"], x, layer)
         half = gu.shape[-1] // 2
         gate, up = gu[..., :half], gu[..., half:]
     else:
-        gate = linear(p["w_gate"], x)
-        up = linear(p["w_up"], x)
+        gate = linear(p["w_gate"], x, layer)
+        up = linear(p["w_up"], x, layer)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
-    return linear(p["w_down"], act)
+    return linear(p["w_down"], act, layer)

@@ -269,17 +269,19 @@ def forward(
 
         taps = taps0
         ks_new, vs_new = [], []
+        lp = params["layers"]  # stacked; the big tensors are read in place
+        # by the layer-indexed kernels (slicing them per layer — tree.map
+        # x[li] — copies every weight each step: 12ms/token on the 8B)
         for li in range(cfg.num_layers):
-            p = jax.tree.map(lambda x: x[li], params["layers"])
-            normed = rms_norm(h, p["attn_norm"], cfg.rms_norm_eps)
+            normed = rms_norm(h, lp["attn_norm"][li], cfg.rms_norm_eps)
             attn_out, k_li, v_li = attention_block_zerocopy(
-                cfg, p, normed, positions, cache, li,
+                cfg, lp, normed, positions, cache, li,
                 rope_cos, rope_sin, tree_mask, window, sink, attn_impl,
-                sparse_select=sparse_select,
+                sparse_select=sparse_select, span=span or 0,
             )
             h = h + attn_out * jnp.asarray(cfg.scale_residual, h.dtype)
-            normed = rms_norm(h, p["ffn_norm"], cfg.rms_norm_eps)
-            ffn_out = gated_ffn(p, normed)
+            normed = rms_norm(h, lp["ffn_norm"][li], cfg.rms_norm_eps)
+            ffn_out = gated_ffn(lp, normed, layer=li)
             if tap_layers and li in tap_layers:
                 taps = taps.at[tap_layers.index(li)].set(ffn_out)
             h = h + ffn_out * jnp.asarray(cfg.scale_residual, h.dtype)

@@ -163,7 +163,7 @@ def _flash_kernel(
     jax.jit,
     static_argnames=(
         "causal", "window", "sink", "scale", "bk", "bqt", "return_lse",
-        "layer", "interpret",
+        "layer", "interpret", "span",
     ),
 )
 def flash_mha(
@@ -184,6 +184,10 @@ def flash_mha(
                                   # buffer directly (no per-layer slice copy
                                   # — the zero-copy decode path)
     interpret: Optional[bool] = None,
+    span: Optional[int] = None,  # static upper bound on valid cache rows
+                                  # (engine kv bucket): sizes the KV grid so
+                                  # a big capacity costs no skipped grid
+                                  # steps. Caller guarantees limit <= span.
 ):
     """Flash attention of T new queries over the cache.
 
@@ -205,7 +209,7 @@ def flash_mha(
     bqt = min(bqt, _round_up(T, 8), max(8, rows_cap // G))
     bk = min(bk, S)
     nq = pl.cdiv(T, bqt)
-    nb_max = pl.cdiv(S, bk)
+    nb_max = pl.cdiv(min(span, S) if span else S, bk)
     rows = G * bqt
 
     # (T, H, D) -> (KVH, G*nq*bqt, D) grouped rows, padded T to nq*bqt

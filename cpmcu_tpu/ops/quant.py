@@ -140,8 +140,9 @@ def repack_gptq(
 def dequantize(q, s, dtype=jnp.float32):
     """XLA reference dequant: pack -> dense (K, N) in ``dtype``.
 
-    With dtype=bfloat16 this reproduces the kernel's rounding exactly
-    ((q-8) and s each cast to bf16 before the product)."""
+    With dtype=bfloat16 this reproduces the prefill kernel's rounding
+    ((q-8) and s each cast to bf16 before the product). The decode kernel
+    applies scales in f32 after the dot (strictly more accurate)."""
     K8, N = q.shape
     K = K8 * 8
     word = q.astype(jnp.uint32).reshape(K // KCHUNK, 128, N)
@@ -163,25 +164,39 @@ def _qmm_kernel_small(x_ref, q_ref, s_ref, o_ref, acc_ref, *, nk, out_dtype):
     j+1's VPU dequant with plane j's dot. Measured fastest at M<=64 of the
     three structures tried (interleaved 54 tok/s vs dequant-to-scratch 41
     vs K-strip 36 on the 8B engine); batch-1 decode is VPU-dequant-bound,
-    so keeping the MXU work interleaved with the nibble extraction wins."""
+    so keeping the MXU work interleaved with the nibble extraction wins.
+
+    Because a nibble plane IS one scale group (module docstring), scale and
+    zero-point move past the dot:  s_j*(x_j·(nib-8)) = s_j*(x_j·nib) -
+    8*s_j*sum(x_j).  The (128, BN)-sized VPU dequant shrinks from 5 ops per
+    plane (shift, and, sub, convert, mul) to 3 (shift, and, convert); the
+    scale/zero correction runs on the (BM, BN) dot result — 16-128x smaller
+    at decode widths. The zero-point term 8*sum(x_j) costs one tiny (BM, 8)
+    row-sum of x per k-chunk."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = q_ref[:]  # (128, BN) int32
+    w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])  # (128, BN) int32
     x = x_ref[:]  # (BM, 1024)
-    s = s_ref[:]  # (8, BN) f32
+    s = s_ref[...].reshape(s_ref.shape[-2], s_ref.shape[-1])  # (8, BN) f32
     acc = acc_ref[:]
-    dq_dtype = x.dtype
+    dq_dtype = x.dtype if x.dtype == jnp.float32 else jnp.bfloat16
+    # per-plane activation row sums: (BM, 8); xsum[:, j] = sum(x_j)
+    xsum = jnp.sum(
+        x.astype(jnp.float32).reshape(x.shape[0], 8, 128), axis=2
+    )
     for j in range(8):
         nib = (jax.lax.shift_right_logical(w, 4 * j)) & 0xF
-        wj = (nib - 8).astype(dq_dtype) * s[j : j + 1].astype(dq_dtype)
         xj = x[:, j * 128 : (j + 1) * 128]
-        acc = acc + jax.lax.dot_general(
-            xj, wj, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        dj = jax.lax.dot_general(
+            xj, nib.astype(dq_dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
+        sj = s[j : j + 1].astype(jnp.float32)  # (1, BN)
+        acc = acc + sj * (dj - 8.0 * xsum[:, j : j + 1])
     acc_ref[:] = acc
 
     @pl.when(k == nk - 1)
@@ -228,31 +243,49 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, w_ref, *, bm, bn, nk, nm, o
         )
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "bn", "bm", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "bn", "bm", "interpret", "layer")
+)
 def quant_matmul_pallas(
     x: jax.Array,  # (M, K) bf16/f32
-    q: jax.Array,  # (K/8, N) int32 (kernel pack layout)
-    s: jax.Array,  # (K/128, N) f32
+    q: jax.Array,  # (K/8, N) int32 (kernel pack layout) — (L, K/8, N) w/ layer
+    s: jax.Array,  # (K/128, N) f32 — (L, K/128, N) with ``layer``
     *,
     out_dtype=None,
     bm: int = 256,
     bn: int = 512,
     interpret: Optional[bool] = None,
+    layer: Optional[int] = None,  # static layer index into stacked weights:
+    # the kernel reads the big donated buffers in place. Slicing stacked
+    # weights per layer (x[li] / scanned xs) materializes a copy of every
+    # tensor each decode step — profiled at 11-12ms/token on the 8B, the
+    # single largest decode cost. Decode-shaped (M<=64) calls only.
 ):
     if interpret is None:
         interpret = _interpret_default()
     M, K = x.shape
-    K8, N = q.shape
+    K8, N = q.shape[-2:]
     assert K == K8 * 8 and K % KCHUNK == 0
     out_dtype = out_dtype or x.dtype
 
     bm = min(bm, _round_up(M, 8))
     bn = min(bn, _round_up(N, 128))
     Mp = _round_up(M, bm)
+
+    if layer is not None and (Mp > 64 or N % bn != 0):
+        if Mp <= 64:
+            while N % bn:  # stacked weights cannot be padded without a copy
+                bn //= 2
+        if Mp > 64 or bn < 128:
+            return quant_matmul_pallas(
+                x, q[layer], s[layer], out_dtype=out_dtype, bm=bm,
+                interpret=interpret,
+            )
+
     Np = _round_up(N, bn)
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
-    if Np != N:
+    if Np != N and layer is None:
         q = jnp.pad(q, ((0, 0), (0, Np - N)))
         s = jnp.pad(s, ((0, 0), (0, Np - N)))
 
@@ -260,14 +293,20 @@ def quant_matmul_pallas(
     dq_dtype = jnp.bfloat16 if x.dtype != jnp.float32 else jnp.float32
 
     if Mp <= 64:
+        if layer is None:
+            q_spec = pl.BlockSpec((128, bn), lambda m, n, k: (k, n))
+            s_spec = pl.BlockSpec((8, bn), lambda m, n, k: (k, n))
+        else:
+            q_spec = pl.BlockSpec((1, 128, bn), lambda m, n, k: (layer, k, n))
+            s_spec = pl.BlockSpec((1, 8, bn), lambda m, n, k: (layer, k, n))
         # decode shapes: interleaved dequant+dot, k innermost
         out = pl.pallas_call(
             functools.partial(_qmm_kernel_small, nk=nk, out_dtype=out_dtype),
             grid=(nm, nn, nk),
             in_specs=[
                 pl.BlockSpec((bm, KCHUNK), lambda m, n, k: (m, k)),
-                pl.BlockSpec((128, bn), lambda m, n, k: (k, n)),
-                pl.BlockSpec((8, bn), lambda m, n, k: (k, n)),
+                q_spec,
+                s_spec,
             ],
             out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
             out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
@@ -278,6 +317,7 @@ def quant_matmul_pallas(
             interpret=interpret,
         )(x, q, s)
         return out[:M, :N]
+    assert layer is None
 
     out = pl.pallas_call(
         functools.partial(
@@ -304,18 +344,24 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def quant_matmul(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
+def quant_matmul(
+    x: jax.Array, q: jax.Array, s: jax.Array, layer: Optional[int] = None
+) -> jax.Array:
     """Dispatch: Pallas fused kernel when supported, XLA dequant otherwise.
 
-    ``x`` may be (..., K); output (..., N) in x.dtype.
+    ``x`` may be (..., K); output (..., N) in x.dtype. With ``layer``, q/s
+    are stacked (L, ...) and the kernel reads them in place (no per-layer
+    slice copy — see quant_matmul_pallas).
     """
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    K8, N = q.shape
+    K8, N = q.shape[-2:]
     if K == K8 * 8 and K % KCHUNK == 0 and jax.default_backend() == "tpu":
-        out = quant_matmul_pallas(x2, q, s)
+        out = quant_matmul_pallas(x2, q, s, layer=layer)
     else:
+        if layer is not None:
+            q, s = q[layer], s[layer]
         w = dequantize(q, s).astype(x.dtype)
         out = jnp.dot(x2, w, preferred_element_type=jnp.float32).astype(x.dtype)
     return out.reshape(*lead, N)

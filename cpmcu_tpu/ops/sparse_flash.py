@@ -13,11 +13,11 @@ flash_fwd_kernel.h headlevel kernels). Design:
     selected fraction, pipelined, with none of the per-block DMA latency a
     manual copy loop pays (v1 of this kernel DMA'd 64-token blocks with
     explicit semaphore waits — ~36K serialized waits per 8B prefill chunk).
-  * per-token exactness inside a visited tile: each token's own visibility
-    is re-derived from its top-k index row (membership test against the
-    tile's 64-token sub-blocks) OR the local block window — the same
-    per-token granularity as the reference's per-16-row bitmap
-    (minicpm4_attn.cuh:162-199).
+  * per-token exactness inside a visited tile: each token's block-level
+    visibility (top-k selection OR local window) arrives as a pre-packed
+    8-bit mask per (token, tile) — one shift+and in the kernel — and exact
+    causality/limit are re-applied per key; the same per-token granularity
+    as the reference's per-16-row bitmap (minicpm4_attn.cuh:162-199).
   * query tiling folds the G = H/KVH query heads of a KV group into MXU
     rows (rows = G * BT).
 """
@@ -35,7 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .sparse import BLOCK, NEG_INF
 
-BK = 512  # KV rows per pipelined tile (8 selection blocks)
+BK = 512  # KV rows per pipelined tile at prefill (8 selection blocks)
+BK_DECODE = 128  # decode-shaped calls: selected blocks are scattered, so
+# finer tiles cut the dominant cost — tile DMA traffic — 4x (the grid
+# length is selection-bound either way; measured 2.4ms/token of tile DMA
+# at 96K with BK=512)
 
 
 def _interpret_default() -> bool:
@@ -60,6 +64,7 @@ def build_visit_tables(
     bt: int,  # static: query tokens per tile
     *,
     local_blocks: int,
+    bk: int = BK,
 ):
     """Returns (load_idx (KVH, nq, NBK) int32 — KV-tile index to map, with
     skipped tiles clamped to the previous visited tile, visited
@@ -81,14 +86,23 @@ def build_visit_tables(
 
     if Tp != T:
         vis = jnp.pad(vis, ((0, 0), (0, Tp - T), (0, 0)))
-    union = vis.reshape(KVH, nq, bt, nb).any(axis=2)  # (KVH, nq, nb)
 
-    # group 64-token selection blocks into 512-token KV tiles
-    sub = BK // BLOCK
+    # group 64-token selection blocks into bk-token KV tiles
+    sub = bk // BLOCK
     nbk = (nb + sub - 1) // sub
     if nbk * sub != nb:
-        union = jnp.pad(union, ((0, 0), (0, 0), (0, nbk * sub - nb)))
-    visited = union.reshape(KVH, nq, nbk, sub).any(axis=-1)
+        vis = jnp.pad(vis, ((0, 0), (0, 0), (0, nbk * sub - nb)))
+    vis5 = vis.reshape(KVH, nq, bt, nbk, sub)
+    union = vis5.any(axis=(2, 4))  # (KVH, nq, nbk)
+    visited = union
+
+    # per-(token, tile) sub-block bitmap: bit sb of blockvis[h,qi,tile,t] =
+    # visibility of 64-token block tile*8+sb for query t. The kernel tests
+    # block-level visibility with one shift+and instead of a K-iteration
+    # top-k membership loop (the old loop was ~64 (BT,BK) compare-ors per
+    # visited tile — the dominant VPU cost of sparse prefill).
+    weights = (1 << jnp.arange(sub, dtype=jnp.int32))[None, None, None, None, :]
+    blockvis = (vis5.astype(jnp.int32) * weights).sum(-1)  # (KVH,nq,bt,nbk)
 
     # clamp skipped tiles to the previous visited tile so their BlockSpec
     # mapping (and hence their DMA) repeats and is elided by the pipeline
@@ -96,7 +110,7 @@ def build_visit_tables(
     marked = jnp.where(visited, t_idx, -1)
     load_idx = jax.lax.associative_scan(jnp.maximum, marked, axis=-1)
     load_idx = jnp.maximum(load_idx, 0)
-    return load_idx, visited.astype(jnp.int32)
+    return load_idx, visited.astype(jnp.int32), blockvis
 
 
 def compact_visit_tables(load_idx, visited, nbv: int):
@@ -134,7 +148,9 @@ def _sparse_kernel(
     limit_ref,  # (1,) int32
     # inputs
     q_ref,  # (1, 1, rows, D)
-    topk_ref,  # (1, 1, BT, K) int32
+    bvis_ref,  # (1, 1, BT, NBK) int32 — bit sb of word [t, tile] = block
+               # tile*8+sb visible to query t (constant in b: one DMA per
+               # query tile, the pipeline elides the repeats)
     pos_ref,  # (1, 1, BT) int32
     k_ref,  # (1, BK, D)
     v_ref,  # (1, BK, D)
@@ -147,7 +163,6 @@ def _sparse_kernel(
     scale: float,
     g: int,
     bt: int,
-    local_blocks: int,
     emit_lse: bool,
 ):
     h = pl.program_id(0)
@@ -168,23 +183,25 @@ def _sparse_kernel(
     @pl.when(visit_ref[flat] == 1)
     def _compute():
         tile = load_ref[flat]  # actual KV-tile index mapped this step
+        bk = k_ref.shape[-2]  # KV rows per tile
         q = q_ref[0, 0]
         k = k_ref[...].reshape(k_ref.shape[-2], k_ref.shape[-1])
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (rows, BK)
 
-        # per-token visibility in (BT, BK) space
-        j = tile * BK + jax.lax.broadcasted_iota(jnp.int32, (bt, BK), 1)
+        # per-token visibility in (BT, BK) space: block-level selection ∪
+        # window comes pre-packed per (token, tile) as an 8-bit mask (one
+        # shift+and here); only exact causality/limit stay per-token
+        j = tile * bk + jax.lax.broadcasted_iota(jnp.int32, (bt, bk), 1)
         qpos = pos_ref[0, 0][:, None]  # (BT, 1)
-        blk64 = j // BLOCK  # 64-token selection block of each key
-        topk = topk_ref[0, 0]  # (BT, K)
-        member = jnp.zeros((bt, BK), jnp.bool_)
-        for kk in range(topk.shape[1]):
-            member |= topk[:, kk : kk + 1] == blk64
-        windowed = blk64 > qpos // BLOCK - local_blocks
-        ok = (j <= qpos) & (j < limit) & (member | windowed)
-        ok = jnp.broadcast_to(ok[None], (g, bt, BK)).reshape(rows, BK)
+        bv = bvis_ref[0, 0]  # (BT, NBK)
+        cols = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1)
+        word = jnp.sum(jnp.where(cols == tile, bv, 0), axis=1, keepdims=True)
+        sb = jax.lax.broadcasted_iota(jnp.int32, (bt, bk), 1) // BLOCK
+        blockok = jax.lax.shift_right_logical(word, sb) & 1
+        ok = (j <= qpos) & (j < limit) & (blockok == 1)
+        ok = jnp.broadcast_to(ok[None], (g, bt, bk)).reshape(rows, bk)
         s = jnp.where(ok, s, NEG_INF)
 
         m_prev = m_scr[:, :1]
@@ -216,7 +233,7 @@ def _sparse_kernel(
     jax.jit,
     static_argnames=(
         "include_new", "local_blocks", "return_lse", "scale", "bt", "layer",
-        "interpret",
+        "interpret", "bk",
     ),
 )
 def sparse_flash_mha(
@@ -237,6 +254,8 @@ def sparse_flash_mha(
     layer: Optional[int] = None,  # static layer index into a stacked cache
                                   # (zero-copy decode; see ops.flash)
     interpret: Optional[bool] = None,
+    bk: Optional[int] = None,  # KV rows per tile; default BK_DECODE for
+                               # decode-shaped T, BK for prefill
 ):
     if interpret is None:
         interpret = _interpret_default()
@@ -253,13 +272,15 @@ def sparse_flash_mha(
     nq = pl.cdiv(T, bt)
     Tp = nq * bt
     rows = G * bt
+    if bk is None:
+        bk = BK_DECODE if T <= 8 and S % BK_DECODE == 0 else BK
 
     prior = jnp.asarray(prior_len, jnp.int32)
     limit = prior + (T if include_new else 0)
 
-    load_idx, visited = build_visit_tables(
+    load_idx, visited, blockvis = build_visit_tables(
         topk_idx, topk_valid, positions, limit, NB, bt,
-        local_blocks=local_blocks,
+        local_blocks=local_blocks, bk=bk,
     )
     nbk = load_idx.shape[-1]
     # decode-shaped calls: bound on distinct visited tiles per query tile =
@@ -268,7 +289,7 @@ def sparse_flash_mha(
     if nbv < nbk:
         load_idx, visited = compact_visit_tables(load_idx, visited, nbv)
     ngrid = load_idx.shape[-1]
-    Sp = nbk * BK
+    Sp = nbk * bk
     if Sp != S:
         k_cache = jnp.pad(k_cache, ((0, 0), (0, Sp - S), (0, 0)))
         v_cache = jnp.pad(v_cache, ((0, 0), (0, Sp - S), (0, 0)))
@@ -285,10 +306,6 @@ def sparse_flash_mha(
     if Tp != T:
         pos_p = jnp.pad(pos_p, (0, Tp - T), constant_values=0)
     pos_tiled = pos_p.reshape(nq, 1, bt)
-    tk = jnp.where(topk_valid, topk_idx, -1)
-    if Tp != T:
-        tk = jnp.pad(tk, ((0, 0), (0, Tp - T), (0, 0)), constant_values=-1)
-    tk_tiled = tk.reshape(KVH, nq, bt, K)
 
     if layer is None:
         def kv_index(h, qi, b, load_ref, visit_ref, limit_ref):
@@ -296,19 +313,17 @@ def sparse_flash_mha(
             nbb = pl.num_programs(2)
             return (h, load_ref[(h * nqq + qi) * nbb + b], 0)
 
-        kv_block = (1, BK, D)
+        kv_block = (1, bk, D)
     else:
         def kv_index(h, qi, b, load_ref, visit_ref, limit_ref):
             nqq = pl.num_programs(1)
             nbb = pl.num_programs(2)
             return (layer, h, load_ref[(h * nqq + qi) * nbb + b], 0)
 
-        kv_block = (1, 1, BK, D)
+        kv_block = (1, 1, bk, D)
 
     kernel = functools.partial(
-        _sparse_kernel,
-        scale=scale, g=G, bt=bt, local_blocks=local_blocks,
-        emit_lse=return_lse,
+        _sparse_kernel, scale=scale, g=G, bt=bt, emit_lse=return_lse,
     )
 
     if return_lse:
@@ -325,7 +340,7 @@ def sparse_flash_mha(
             grid=(KVH, nq, ngrid),
             in_specs=[
                 pl.BlockSpec((1, 1, rows, D), lambda h, qi, b, *_: (h, qi, 0, 0)),
-                pl.BlockSpec((1, 1, bt, K), lambda h, qi, b, *_: (h, qi, 0, 0)),
+                pl.BlockSpec((1, 1, bt, nbk), lambda h, qi, b, *_: (h, qi, 0, 0)),
                 pl.BlockSpec((1, 1, bt), lambda h, qi, b, *_: (qi, 0, 0)),
                 pl.BlockSpec(kv_block, kv_index),
                 pl.BlockSpec(kv_block, kv_index),
@@ -347,7 +362,7 @@ def sparse_flash_mha(
         interpret=interpret,
     )(
         load_idx.reshape(-1), visited.reshape(-1), limit.reshape(1),
-        qg, tk_tiled, pos_tiled, k_cache, v_cache,
+        qg, blockvis, pos_tiled, k_cache, v_cache,
     )
 
     out = (
