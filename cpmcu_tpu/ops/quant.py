@@ -4,17 +4,25 @@ Replaces the reference's vendored GPTQ-Marlin CUDA kernel
 (src/qgemm/gptq_marlin/, SURVEY.md §2.4) with a Pallas kernel and a packing
 designed for the TPU memory system — NOT Marlin's tensor-core permutation:
 
-**Pack layout.** Weights W (K, N), symmetric int4, group_size g=128.
-K is processed in chunks of 1024 unpacked rows. Within chunk ``c``, packed
-word ``(kq, n)`` (int32) holds 8 nibbles, nibble ``j`` = quantized
-``W[c*1024 + j*128 + kq, n]``. Consequences, by construction:
+**Pack layout (v2, bf16-pair construction).** Weights W (K, N), symmetric
+int4, group_size g=128. K is processed in chunks of 1024 unpacked rows.
+Within chunk ``c``, packed word ``(r, n)`` (int32) holds 8 nibbles in 4
+*plane pairs*: bits ``[4j, 4j+4)`` = ``W[c*1024 + j*256 + 2r, n]`` and bits
+``[4j+16, 4j+20)`` = ``W[c*1024 + j*256 + 2r+1, n]`` for ``j in 0..3``.
+Why this shape: one shift+and+or per plane turns the word vector into TWO
+packed bf16 values ``1 + nib/16`` (``0x3F80 | nib<<3`` in each 16-bit
+half), and a sublane bitcast (``pltpu.bitcast`` i32->bf16, low half ->
+even row) yields a (256, BN) bf16 tile — 1.5 VPU ops per weight instead of
+the 3 (shift, and, convert) of the plane-per-nibble v1 layout, in a
+decode path that is VPU-dequant-bound. The affine fix-up
+``w = s*(16*v - 24)`` (exact: 16(1+n/16)-24 = n-8) moves past the dot at
+decode (one tiny (BM,BN) op per scale group) and into the scratch write at
+prefill. Still by construction:
 
-  * nibble plane ``j`` of a 128-row packed block is a **contiguous** 128-row
-    span of K  -> the activation slice is a contiguous VMEM column block;
-  * that 128-row span is exactly **one scale group** -> per-plane dequant is
-    a single broadcast multiply, no gathers;
-  * a (128, BN) int32 block dequantizes to 1024 K-rows -> 4-bit HBM traffic,
-    which is what makes batch-1 decode ~4x faster than bf16 weights.
+  * each 128-row half of a plane pair is exactly **one scale group**;
+  * a (128, BN) int32 block dequantizes to 1024 K-rows -> 4-bit HBM
+    traffic, which is what makes batch-1 decode ~4x faster than bf16
+    weights.
 
 Storage: ``q`` int32 (K/8, N), ``s`` float32 (K/g, N). Requires K % 1024 == 0
 and g == 128 (the reference's converter imposes the same: 4-bit, g=128, sym,
@@ -61,15 +69,16 @@ def quantize_np(w: np.ndarray, group_size: int = GROUP_SIZE) -> Tuple[np.ndarray
 
 
 def pack_rows(q4: np.ndarray) -> np.ndarray:
-    """Pack int4 values (K, N) (range 0..15) into the kernel layout
+    """Pack int4 values (K, N) (range 0..15) into the v2 kernel layout
     int32 (K/8, N) described in the module docstring."""
     K, N = q4.shape
     assert K % KCHUNK == 0, f"K={K} must be a multiple of {KCHUNK}"
-    # (K/1024, 8, 128, N) — nibble j packs plane j
-    planes = q4.reshape(K // KCHUNK, 8, 128, N).astype(np.uint32)
+    # (c, j, r, p, n): unpacked row = c*1024 + j*256 + 2r + p
+    v = q4.reshape(K // KCHUNK, 4, 128, 2, N).astype(np.uint32)
     word = np.zeros((K // KCHUNK, 128, N), np.uint32)
-    for j in range(8):
-        word |= planes[:, j] << (4 * j)
+    for j in range(4):
+        word |= v[:, j, :, 0] << (4 * j)
+        word |= v[:, j, :, 1] << (4 * j + 16)
     return word.reshape(K // 8, N).astype(np.int32)
 
 
@@ -78,8 +87,11 @@ def unpack_rows(qpacked: np.ndarray) -> np.ndarray:
     K8, N = qpacked.shape
     K = K8 * 8
     word = qpacked.astype(np.uint32).reshape(K // KCHUNK, 128, N)
-    planes = np.stack([(word >> (4 * j)) & 0xF for j in range(8)], axis=1)
-    return planes.reshape(K, N).astype(np.int32)
+    q4 = np.zeros((K // KCHUNK, 4, 128, 2, N), np.int32)
+    for j in range(4):
+        q4[:, j, :, 0] = (word >> (4 * j)) & 0xF
+        q4[:, j, :, 1] = (word >> (4 * j + 16)) & 0xF
+    return q4.reshape(K, N)
 
 
 def pack_weights(w: np.ndarray, group_size: int = GROUP_SIZE) -> dict:
@@ -141,15 +153,20 @@ def dequantize(q, s, dtype=jnp.float32):
     """XLA reference dequant: pack -> dense (K, N) in ``dtype``.
 
     With dtype=bfloat16 this reproduces the prefill kernel's rounding
-    ((q-8) and s each cast to bf16 before the product). The decode kernel
-    applies scales in f32 after the dot (strictly more accurate)."""
+    ((q-8) and s each cast to bf16 before the product; 16*(1+n/16)-24 is
+    exact in bf16). The decode kernel applies scales in f32 after the dot
+    (strictly more accurate)."""
     K8, N = q.shape
     K = K8 * 8
     word = q.astype(jnp.uint32).reshape(K // KCHUNK, 128, N)
-    planes = jnp.stack(
-        [(word >> (4 * j)) & jnp.uint32(0xF) for j in range(8)], axis=1
-    )  # (K/1024, 8, 128, N)
-    vals = planes.astype(jnp.int32) - 8
+    pairs = []
+    for j in range(4):
+        pairs.append((word >> (4 * j)) & jnp.uint32(0xF))
+        pairs.append((word >> (4 * j + 16)) & jnp.uint32(0xF))
+    # (c, j, p, r, n): row = c*1024 + j*256 + 2r + p
+    v = jnp.stack(pairs, axis=1).reshape(K // KCHUNK, 4, 2, 128, N)
+    v = v.transpose(0, 1, 3, 2, 4)  # (c, j, r, p, n)
+    vals = v.astype(jnp.int32).reshape(K, N) - 8
     vals = vals.reshape(K // GROUP_SIZE, GROUP_SIZE, N)
     return (vals.astype(dtype) * s[:, None, :].astype(dtype)).reshape(K, N)
 
@@ -158,21 +175,35 @@ def dequantize(q, s, dtype=jnp.float32):
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _qmm_kernel_small(x_ref, q_ref, s_ref, o_ref, acc_ref, *, nk, out_dtype):
-    """Decode-shape kernel (grid (nm, nn, nk), k innermost): per nibble
-    plane, dequant feeds a small MXU dot directly — Mosaic overlaps plane
-    j+1's VPU dequant with plane j's dot. Measured fastest at M<=64 of the
-    three structures tried (interleaved 54 tok/s vs dequant-to-scratch 41
-    vs K-strip 36 on the 8B engine); batch-1 decode is VPU-dequant-bound,
-    so keeping the MXU work interleaved with the nibble extraction wins.
+def _extract_pair_planes(w, j: int, interpret: bool):
+    """(128, BN) int32 words -> (256, BN) bf16 of ``1 + nib/16`` for plane
+    pair ``j`` (row 2r = low 16-bit half = unpacked chunk row j*256 + 2r).
 
-    Because a nibble plane IS one scale group (module docstring), scale and
-    zero-point move past the dot:  s_j*(x_j·(nib-8)) = s_j*(x_j·nib) -
-    8*s_j*sum(x_j).  The (128, BN)-sized VPU dequant shrinks from 5 ops per
-    plane (shift, and, sub, convert, mul) to 3 (shift, and, convert); the
-    scale/zero correction runs on the (BM, BN) dot result — 16-128x smaller
-    at decode widths. The zero-point term 8*sum(x_j) costs one tiny (BM, 8)
-    row-sum of x per k-chunk."""
+    One shift + and + or builds TWO bf16s per word (0x3F80 | nib<<3), then
+    a sublane bitcast splits them — 1.5 VPU ops per weight."""
+    t = (w << 3) if j == 0 else jax.lax.shift_right_logical(w, 4 * j - 3)
+    u = (t & 0x00780078) | 0x3F803F80
+    if interpret:
+        b2 = jax.lax.bitcast_convert_type(u, jnp.bfloat16)  # (128, BN, 2)
+        return b2.transpose(0, 2, 1).reshape(2 * u.shape[0], u.shape[1])
+    return pltpu.bitcast(u, jnp.bfloat16)
+
+
+def _qmm_kernel_small(
+    x_ref, q_ref, s_ref, o_ref, acc_ref, *, nk, out_dtype, interpret
+):
+    """Decode-shape kernel (grid (nm, nn, nk), k innermost): per plane
+    pair, dequant feeds two small MXU dots directly — Mosaic overlaps the
+    next pair's VPU extraction with the current dots. Batch-1 decode is
+    VPU-dequant-bound, so minimizing per-weight VPU ops wins; the bf16-pair
+    construction costs 1.5 ops/weight (v1 nibble planes: 3).
+
+    Because each 128-row half of a plane pair IS one scale group (module
+    docstring), scale and zero-point move past the dot:
+    ``s*(x·(nib-8)) = s*(16*(x·v) - 24*sum(x))`` for ``v = 1 + nib/16``.
+    The correction runs on the (BM, BN) dot result — 16-128x smaller than
+    the weight tile at decode widths; ``sum(x)`` per group is one tiny
+    (BM, 8) row-sum per k-chunk."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -183,20 +214,23 @@ def _qmm_kernel_small(x_ref, q_ref, s_ref, o_ref, acc_ref, *, nk, out_dtype):
     x = x_ref[:]  # (BM, 1024)
     s = s_ref[...].reshape(s_ref.shape[-2], s_ref.shape[-1])  # (8, BN) f32
     acc = acc_ref[:]
-    dq_dtype = x.dtype if x.dtype == jnp.float32 else jnp.bfloat16
-    # per-plane activation row sums: (BM, 8); xsum[:, j] = sum(x_j)
+    # per-group activation row sums: (BM, 8); xsum[:, g] = sum(x_g)
     xsum = jnp.sum(
         x.astype(jnp.float32).reshape(x.shape[0], 8, 128), axis=2
     )
-    for j in range(8):
-        nib = (jax.lax.shift_right_logical(w, 4 * j)) & 0xF
-        xj = x[:, j * 128 : (j + 1) * 128]
-        dj = jax.lax.dot_general(
-            xj, nib.astype(dq_dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        sj = s[j : j + 1].astype(jnp.float32)  # (1, BN)
-        acc = acc + sj * (dj - 8.0 * xsum[:, j : j + 1])
+    for j in range(4):
+        v = _extract_pair_planes(w, j, interpret)  # (256, BN) bf16
+        if x.dtype == jnp.float32:
+            v = v.astype(jnp.float32)
+        for h in range(2):
+            g = 2 * j + h
+            xg = x[:, g * 128 : (g + 1) * 128]
+            d = jax.lax.dot_general(
+                xg, v[h * 128 : (h + 1) * 128], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            sg = s[g : g + 1].astype(jnp.float32)  # (1, BN)
+            acc = acc + sg * (16.0 * d - 24.0 * xsum[:, g : g + 1])
     acc_ref[:] = acc
 
     @pl.when(k == nk - 1)
@@ -204,14 +238,18 @@ def _qmm_kernel_small(x_ref, q_ref, s_ref, o_ref, acc_ref, *, nk, out_dtype):
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, w_ref, *, bm, bn, nk, nm, out_dtype):
+def _qmm_kernel(
+    x_ref, q_ref, s_ref, o_ref, acc_ref, w_ref, *, bm, bn, nk, nm, out_dtype,
+    interpret,
+):
     """Prefill-shape kernel: grid (nn, nk, nm), m innermost.
 
     At m==0 the packed (128, BN) int32 block dequantizes ONCE into the
     (1024, BN) bf16 scratch (`w_ref`); every m-tile then runs a single wide
     MXU dot against it — the dequant VPU work amortizes over all M rows
     (Marlin amortizes its ldmatrix+LOP3 dequant the same way across its
-    m-batching loop, gptq_marlin_mm.cu:150-180)."""
+    m-batching loop, gptq_marlin_mm.cu:150-180). ``(v*16-24)*s`` rounds
+    identically to the v1 ``(nib-8)*s``: 16*(1+n/16)-24 = n-8 exactly."""
     k = pl.program_id(1)
     m = pl.program_id(2)
 
@@ -219,11 +257,13 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, w_ref, *, bm, bn, nk, nm, o
     def _dequant():
         w = q_ref[:]  # (128, BN) int32
         sc = s_ref[:]  # (8, BN) f32
-        for j in range(8):
-            nib = (jax.lax.shift_right_logical(w, 4 * j)) & 0xF
-            w_ref[j * 128 : (j + 1) * 128, :] = (
-                (nib - 8).astype(w_ref.dtype) * sc[j : j + 1].astype(w_ref.dtype)
-            )
+        for j in range(4):
+            v = _extract_pair_planes(w, j, interpret)  # (256, BN) bf16
+            for h in range(2):
+                g = 2 * j + h
+                vv = v[h * 128 : (h + 1) * 128].astype(w_ref.dtype)
+                sg = sc[g : g + 1].astype(w_ref.dtype)
+                w_ref[g * 128 : (g + 1) * 128, :] = (vv * 16.0 - 24.0) * sg
 
     @pl.when(k == 0)
     def _init():
@@ -301,7 +341,10 @@ def quant_matmul_pallas(
             s_spec = pl.BlockSpec((1, 8, bn), lambda m, n, k: (layer, k, n))
         # decode shapes: interleaved dequant+dot, k innermost
         out = pl.pallas_call(
-            functools.partial(_qmm_kernel_small, nk=nk, out_dtype=out_dtype),
+            functools.partial(
+                _qmm_kernel_small, nk=nk, out_dtype=out_dtype,
+                interpret=interpret,
+            ),
             grid=(nm, nn, nk),
             in_specs=[
                 pl.BlockSpec((bm, KCHUNK), lambda m, n, k: (m, k)),
@@ -321,7 +364,8 @@ def quant_matmul_pallas(
 
     out = pl.pallas_call(
         functools.partial(
-            _qmm_kernel, bm=bm, bn=bn, nk=nk, nm=nm, out_dtype=out_dtype
+            _qmm_kernel, bm=bm, bn=bn, nk=nk, nm=nm, out_dtype=out_dtype,
+            interpret=interpret,
         ),
         grid=(nn, nk, nm),
         in_specs=[

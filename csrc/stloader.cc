@@ -283,13 +283,15 @@ void repack_gptq_to_tpu(const int32_t* src, int32_t* dst,
       int32_t* drow = dst + (c * kchunk_words + kq) * n;
       for (int64_t col = 0; col < n; ++col) {
         uint32_t word = 0;
-        for (int j = 0; j < 8; ++j) {
-          // unpacked row r = c*1024 + j*128 + kq lives in GPTQ word r/8,
-          // nibble r%8
-          int64_t r = c * 1024 + (int64_t)j * 128 + kq;
-          uint32_t g = (uint32_t)src[(r / 8) * n + col];
-          uint32_t nib = (g >> (4 * (r % 8))) & 0xF;
-          word |= nib << (4 * j);
+        for (int j = 0; j < 4; ++j) {
+          // v2 bf16-pair layout (ops/quant.py pack_rows): bits [4j,4j+4) =
+          // unpacked row c*1024 + j*256 + 2*kq, bits [4j+16,4j+20) = the
+          // row after it. GPTQ stores row r at word r/8, nibble r%8.
+          int64_t r0 = c * 1024 + (int64_t)j * 256 + 2 * kq;
+          uint32_t g0 = (uint32_t)src[(r0 / 8) * n + col];
+          uint32_t g1 = (uint32_t)src[((r0 + 1) / 8) * n + col];
+          word |= ((g0 >> (4 * (r0 % 8))) & 0xF) << (4 * j);
+          word |= ((g1 >> (4 * ((r0 + 1) % 8))) & 0xF) << (4 * j + 16);
         }
         drow[col] = (int32_t)word;
       }
