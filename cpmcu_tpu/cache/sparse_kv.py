@@ -66,16 +66,13 @@ class SparseKVCache:
         return KVCache(self.k, self.v, self.length)
 
 
-def commit(cache: SparseKVCache, n, *, max_new: int) -> SparseKVCache:
-    """Commit ``n`` new tokens (K/V rows already appended by the forward
-    pass at [length, length+n)) and advance the compressed mirrors.
-
-    ``max_new`` is the static bound on n (chunk length for prefill, tree
-    size for spec decode). The dense engine's plain ``with_length`` commit
-    is replaced by this for sparse models.
-    """
-    old_len = cache.length
-    new_len = old_len + jnp.asarray(n, jnp.int32)
+def compress_span(cache: SparseKVCache, old_len, *, max_new: int) -> SparseKVCache:
+    """Recompute the compressed rows whose source windows committed in
+    (old_len, cache.length]; ``max_new`` is the static bound on the token
+    span. Runs OUTSIDE any per-token scan: a compress inside a scan body
+    defeats XLA's in-place carry analysis and ping-pongs the whole cache
+    (profiled at 10.3ms/token at 96K — k+v+c1+c2 copied every step)."""
+    new_len = cache.length
 
     def per_layer(k_layer, c1_layer, c2_layer):
         c1n = compress_incremental(
@@ -92,6 +89,18 @@ def commit(cache: SparseKVCache, n, *, max_new: int) -> SparseKVCache:
 
     c1, c2 = jax.vmap(per_layer)(cache.k, cache.c1, cache.c2)
     return SparseKVCache(cache.k, cache.v, c1, c2, new_len)
+
+
+def commit(cache: SparseKVCache, n, *, max_new: int) -> SparseKVCache:
+    """Commit ``n`` new tokens (K/V rows already appended by the forward
+    pass at [length, length+n)) and advance the compressed mirrors.
+
+    ``max_new`` is the static bound on n (chunk length for prefill, tree
+    size for spec decode). The dense engine's plain ``with_length`` commit
+    is replaced by this for sparse models.
+    """
+    adv = cache.with_length(cache.length + jnp.asarray(n, jnp.int32))
+    return compress_span(adv, cache.length, max_new=max_new)
 
 
 commit_jit = jax.jit(

@@ -49,8 +49,18 @@ def decode_segment(
     (src/entry.cu:540-562) — but stronger: the token loop itself (forward,
     sample, cache append) runs on device, so host<->device round trips are
     amortized over ``k`` tokens. Returns (cache, tokens(k,), new_key).
+
+    The sparse compressed mirrors advance ONCE per segment, after the scan:
+    a compress inside the scan body defeats XLA's in-place carry analysis
+    and copies the whole cache every token (10.3ms/token at 96K). The c1/c2
+    rows for the segment's own tokens therefore lag by <= k extra tokens —
+    invisible to selection, whose local window (block_window_size * 64 =
+    512 tokens) force-includes everything near the query anyway (the rows
+    already lag 16-31 tokens by construction, ops/sparse.c_len_of).
     """
-    from ..cache.sparse_kv import commit as sparse_commit
+    from ..cache.sparse_kv import compress_span
+
+    base_len = cache.length
 
     def body(carry, _):
         cache, tok, p, key = carry
@@ -59,10 +69,7 @@ def decode_segment(
             logits_mode="all", attn_impl=attn_impl, sparse_select=sparse_select,
             kv_span=kv_span, unroll=unroll,
         )
-        if hasattr(cache, "c1"):
-            cache = sparse_commit(cache, 1, max_new=1)
-        else:
-            cache = cache.with_length(cache.length + 1)
+        cache = cache.with_length(cache.length + 1)
         key, sub = jax.random.split(key)
         nxt = sample(logits[-1], sub, temperature=temperature, top_k=top_k, top_p=top_p)
         return (cache, nxt, p + 1, key), nxt
@@ -70,6 +77,8 @@ def decode_segment(
     (cache, _, _, key), toks = jax.lax.scan(
         body, (cache, token, pos, key), None, length=k
     )
+    if hasattr(cache, "c1"):
+        cache = compress_span(cache, base_len, max_new=k)
     return cache, toks, key
 
 

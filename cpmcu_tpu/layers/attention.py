@@ -31,7 +31,7 @@ def attention_block(
     k_cache: jnp.ndarray,  # (S, KVH, D) this layer
     v_cache: jnp.ndarray,
     cache_len: jnp.ndarray,  # scalar: history length; new kv written here
-    rope_cos: jnp.ndarray,
+    rope_cos: jnp.ndarray,  # (T, D) pre-sliced at positions, or (S, D) table
     rope_sin: jnp.ndarray,
     tree_mask: Optional[jnp.ndarray] = None,
     window: int = 0,
@@ -65,7 +65,9 @@ def attention_block(
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
 
-    q, k = apply_rope(q, k, rope_cos, rope_sin, positions)
+    # rope tables arrive pre-sliced (T, D): the gather is layer-invariant
+    # and is hoisted out of the layer loop by every caller
+    q, k = apply_rope(q, k, rope_cos, rope_sin)
 
     k_cache, v_cache = append_layer(
         k_cache, v_cache, k, v, cache_len if write_at is None else write_at
@@ -148,7 +150,7 @@ def attention_block_zerocopy(
     if cfg.use_qk_norm:
         q = rms_norm(q, p["q_norm"][li], cfg.rms_norm_eps)
         k = rms_norm(k, p["k_norm"][li], cfg.rms_norm_eps)
-    q, k = apply_rope(q, k, rope_cos, rope_sin, positions)
+    q, k = apply_rope(q, k, rope_cos, rope_sin)  # pre-sliced (T, D)
 
     prior = cache.length
     use_kernel = (

@@ -222,6 +222,10 @@ def forward(
     import dataclasses
 
     rope_cos, rope_sin = rope
+    # hoist the layer-invariant rope table gather out of the layer loop
+    # (done per layer it profiled at ~1ms/token on the 8B)
+    rope_cos = rope_cos[positions]
+    rope_sin = rope_sin[positions]
     h = embedding(params["embed"], token_ids, cfg.scale_emb, cfg.jnp_dtype)
     is_sparse = hasattr(cache, "c1")
     T = token_ids.shape[0]

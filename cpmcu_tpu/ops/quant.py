@@ -293,7 +293,9 @@ def quant_matmul_pallas(
     *,
     out_dtype=None,
     bm: int = 256,
-    bn: int = 512,
+    bn: Optional[int] = None,  # decode default: widest of 2048/1024/512
+    # dividing N — the per-plane dots are MXU-latency-bound at bn=512
+    # (8 small dots per grid step), wider tiles amortize the dot latency
     interpret: Optional[bool] = None,
     layer: Optional[int] = None,  # static layer index into stacked weights:
     # the kernel reads the big donated buffers in place. Slicing stacked
@@ -309,8 +311,13 @@ def quant_matmul_pallas(
     out_dtype = out_dtype or x.dtype
 
     bm = min(bm, _round_up(M, 8))
-    bn = min(bn, _round_up(N, 128))
     Mp = _round_up(M, bm)
+    if bn is None:
+        if Mp <= 64:
+            bn = next((b for b in (2048, 1024, 512) if N % b == 0), 512)
+        else:
+            bn = 512
+    bn = min(bn, _round_up(N, 128))
 
     if layer is not None and (Mp > 64 or N % bn != 0):
         if Mp <= 64:

@@ -137,6 +137,9 @@ def eagle_layers(
     applies lm_head directly to it, eagle.cuh:447,467)."""
     m = ecfg.model
     rope_cos, rope_sin = rope
+    # attention_block takes pre-sliced rope rows (layer-invariant gather)
+    rope_cos = rope_cos[positions]
+    rope_sin = rope_sin[positions]
     L = ep["layers"]["attn_norm"].shape[0]
     idxs = jnp.arange(L, dtype=jnp.int32)
     span = kv_span if kv_span and kv_span < kv.max_length else None
