@@ -13,6 +13,7 @@ Modes: --quant, --spec [--spec-type eagle2|chain], --sparse --prompt-len N
 import argparse
 import dataclasses
 import json
+import os
 import time
 
 import numpy as np
@@ -157,6 +158,17 @@ def bench_batch(cfg, eng, steps=64, prompt_len=128, batch=8):
 
 
 def main():
+    # persistent XLA compilation cache: repeated driver/bench runs skip the
+    # 20-60s remote compiles (silently inactive if the backend can't
+    # serialize executables)
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--config", default="minicpm4-8b", choices=["minicpm4-0.5b", "minicpm4-8b"]

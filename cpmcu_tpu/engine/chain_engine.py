@@ -67,7 +67,7 @@ def chain_spec_step(
     dpos = dorig + jnp.arange(N1, dtype=jnp.int32)
     dlogits, dcache = llama.forward(
         draft_cfg, dparams, drope, dcache, prev_tokens, dpos,
-        logits_mode="all", attn_impl=attn_impl,
+        logits_mode="all", attn_impl=attn_impl, unroll=True,
     )
     dcache = dcache.with_length(dorig + num_prev)
 
@@ -75,7 +75,7 @@ def chain_spec_step(
         dcache, tok, pos = carry
         lg, dcache = llama.forward(
             draft_cfg, dparams, drope, dcache, tok[None], pos[None],
-            logits_mode="all", attn_impl=attn_impl,
+            logits_mode="all", attn_impl=attn_impl, unroll=True,
         )
         dcache = dcache.with_length(dcache.length + 1)
         nxt = jnp.argmax(lg[-1]).astype(jnp.int32)  # greedy top-1 draft
@@ -97,6 +97,7 @@ def chain_spec_step(
     logits, cache = llama.forward(
         base_cfg, params, rope, cache, chain, positions,
         logits_mode="all", attn_impl=attn_impl, sparse_select=sparse_select,
+        unroll=True,
     )
     if temperature == 0.0:
         gt = jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -39,10 +39,10 @@ from .engine import Engine
 
 
 def _embed(base_cfg: ModelConfig, params, ids):
-    e = jnp.take(params["embed"], ids, axis=0).astype(base_cfg.jnp_dtype)
-    if base_cfg.scale_emb != 1.0:
-        e = e * jnp.asarray(base_cfg.scale_emb, e.dtype)
-    return e
+    from ..layers.modules import embedding
+
+    return embedding(params["embed"], jnp.atleast_1d(jnp.asarray(ids)),
+                     base_cfg.scale_emb, base_cfg.jnp_dtype)
 
 
 def _run_prefix(ecfg, ep, emb, taps, positions, ekv, rope, prior, attn_impl):
@@ -67,7 +67,7 @@ def _expand_and_verify(
     logits, cache, taps = llama.forward(
         base_cfg, params, rope, cache, tree_tokens, tree_pos, tree_mask,
         logits_mode="all", attn_impl=attn_impl, sparse_select=sparse_select,
-        tap_layers=ecfg.tap_layers,
+        tap_layers=ecfg.tap_layers, unroll=True,
     )
     if temperature == 0.0:
         gt = jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -61,6 +61,7 @@ def hier_catchup(
     _, dcache, normed = llama.forward(
         draft_cfg, dparams, drope, dcache, tok, d0[None],
         logits_mode="none", attn_impl=attn_impl, return_hidden=True,
+        unroll=True,
     )
     dcache = dcache.with_length(d0 + 1)
 
@@ -107,6 +108,7 @@ def hier_outer_verify(
     logits, cache = llama.forward(
         base_cfg, params, rope, cache, chain_tokens, positions,
         logits_mode="all", attn_impl=attn_impl, sparse_select=sparse_select,
+        unroll=True,
     )
     if temperature == 0.0:
         gt = jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -33,10 +33,10 @@ from .engine import Engine
 
 
 def _embed(base_cfg: ModelConfig, params, ids):
-    e = jnp.take(params["embed"], ids, axis=0).astype(base_cfg.jnp_dtype)
-    if base_cfg.scale_emb != 1.0:
-        e = e * jnp.asarray(base_cfg.scale_emb, e.dtype)
-    return e
+    from ..layers.modules import embedding
+
+    return embedding(params["embed"], jnp.atleast_1d(jnp.asarray(ids)),
+                     base_cfg.scale_emb, base_cfg.jnp_dtype)
 
 
 def _expand_and_verify(

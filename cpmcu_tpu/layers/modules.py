@@ -56,7 +56,19 @@ def linear(p: dict, x, layer=None):
 
 
 def embedding(embed_table, token_ids, scale_emb: float, dtype):
-    h = jnp.take(embed_table, token_ids, axis=0).astype(dtype)
+    ids = jnp.asarray(token_ids)
+    if ids.ndim == 1 and ids.shape[0] <= 64:
+        # decode-shaped lookups: XLA lowers a gather on the (V, H) table to
+        # a slow per-row loop (profiled ~3ms/round in the spec engine); a
+        # static unroll of dynamic slices is ~2us per row
+        rows = [
+            jax.lax.dynamic_slice_in_dim(embed_table, ids[i], 1, axis=0)
+            for i in range(ids.shape[0])
+        ]
+        h = jnp.concatenate(rows, axis=0).astype(dtype) if len(rows) > 1 \
+            else rows[0].astype(dtype)
+    else:
+        h = jnp.take(embed_table, ids, axis=0).astype(dtype)
     if scale_emb != 1.0:
         h = h * jnp.asarray(scale_emb, dtype)
     return h

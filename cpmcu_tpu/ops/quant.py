@@ -314,7 +314,8 @@ def quant_matmul_pallas(
     Mp = _round_up(M, bm)
     if bn is None:
         if Mp <= 64:
-            bn = next((b for b in (2048, 1024, 512) if N % b == 0), 512)
+            # widest divisor first; 1536 covers the fused qkv N=4608
+            bn = next((b for b in (2048, 1536, 1024, 512) if N % b == 0), 512)
         else:
             bn = 512
     bn = min(bn, _round_up(N, 128))

@@ -82,8 +82,19 @@ def compress_incremental(
     old_clen = jnp.asarray(old_clen, jnp.int32)
     span = max_new * stride + stride  # tokens feeding max_new overlapping rows
 
-    tok_idx = old_clen * stride + jnp.arange(span, dtype=jnp.int32)
-    rows = jnp.take(k_cache, jnp.clip(tok_idx, 0, S - 1), axis=1)  # (KVH, span, D)
+    # one contiguous dynamic_slice instead of jnp.take: XLA lowers the
+    # gather to a per-index loop (profiled ~1ms/token at 96K). Near the
+    # capacity end the start clamps back and a roll realigns: the last
+    # (start - clamped) rows become wrapped garbage, which only lands in
+    # rows beyond new_clen (droppable by the module contract).
+    start = old_clen * stride
+    sc = jnp.minimum(start, S - min(span, S))
+    rows = jax.lax.dynamic_slice(
+        k_cache, (jnp.int32(0), sc, jnp.int32(0)), (KVH, min(span, S), D)
+    )
+    rows = jnp.roll(rows, sc - start, axis=1)
+    if span > S:
+        rows = jnp.pad(rows, ((0, 0), (0, span - S), (0, 0)))
     a = rows[:, : max_new * stride].reshape(KVH, max_new, stride, D)
     b = rows[:, stride : stride + max_new * stride].reshape(KVH, max_new, stride, D)
     pooled = (a.astype(jnp.float32).sum(2) + b.astype(jnp.float32).sum(2)) / window

@@ -237,9 +237,10 @@ def eagle_draft(
 
     for d in range(1, NI):
         real_ids = _fr_to_real(ecfg, ep, frontier_tok)
-        emb = jnp.take(base_params["embed"], real_ids, axis=0).astype(m.jnp_dtype)
-        if base_cfg.scale_emb != 1.0:
-            emb = emb * jnp.asarray(base_cfg.scale_emb, emb.dtype)
+        from ..layers.modules import embedding
+
+        emb = embedding(base_params["embed"], real_ids, base_cfg.scale_emb,
+                        m.jnp_dtype)
         x = eagle_fc(ecfg, ep, emb, frontier_hidden)
         positions = jnp.full((K,), orig + (d - 1), jnp.int32)
         h, ekv = eagle_layers(
