@@ -99,15 +99,27 @@ def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2"):
         dparams = llama.init_params(draft_cfg, jax.random.PRNGKey(1))
         engine = ChainSpecEngine(cfg, draft_cfg, eng, params, dparams)
     else:
+        import jax.numpy as jnp
+
         from cpmcu_tpu.engine.spec_engine import SpecEngine
         from cpmcu_tpu.spec.eagle import EagleConfig, init_eagle_params
 
         draft_cfg = dataclasses.replace(cfg, num_layers=1, quant=False)
+        vfr = 32768  # FR-Spec sub-vocabulary, like the reference headline
         ecfg = EagleConfig(
             model=draft_cfg, num_iter=2, topk_per_iter=10, tree_size=12,
             window=1024, use_input_norm=True, use_attn_norm=True,
+            frspec_vocab_size=vfr,
         )
         eparams = init_eagle_params(ecfg, jax.random.PRNGKey(1))
+        H = cfg.hidden_size
+        k = jax.random.PRNGKey(2)
+        eparams["lm_head"] = {
+            "w": (jax.random.normal(k, (H, vfr), jnp.float32) * 0.02).astype(
+                cfg.jnp_dtype
+            )
+        }
+        eparams["token_id_remap"] = jnp.arange(vfr, dtype=jnp.int32)
         engine = SpecEngine(cfg, ecfg, eng, params, eparams)
 
     rng = np.random.default_rng(0)

@@ -89,10 +89,16 @@ def main():
         "accept": round(engine.mean_accept_length(), 3),
     }), flush=True)
 
+    # clean segment-only trace: no prefill contamination
     tdir = "/tmp/jaxtrace_spec" + ("_chain" if chain else "")
-    engine.reset()
+    import numpy as _np
+
+    t0 = time.time()
     with jax.profiler.trace(tdir):
-        engine.generate(ids, generation_length=32)
+        rounds = engine._spec_rounds(1, 12)
+        _np.asarray(0)  # flush
+    dt = time.time() - t0
+    print(json.dumps({"segment12_wall_ms": round(dt * 1e3, 1)}), flush=True)
     top_ops(tdir)
 
 

@@ -218,8 +218,10 @@ class EngineConfig:
     # analog; 1 = step-per-dispatch like the reference)
     decode_segment_size: int = 16
     # spec rounds fused per device program (1 = sync per round, like the
-    # reference's per-step accept readback)
-    spec_segment_size: int = 4
+    # reference's per-step accept readback). On a tunneled device the
+    # per-dispatch round trip (~50-70ms) dominates a ~10ms device round, so
+    # fuse deep; rounds past the generation end are clipped by the caller.
+    spec_segment_size: int = 12
 
     # speculative decoding (reference defaults args.py:50-66)
     use_spec: bool = False

@@ -344,6 +344,9 @@ class SpecEngine(Engine):
         toks = np.asarray(emitted)[:n].tolist()
         return toks, n
 
+    def _segment_ready(self) -> bool:
+        return getattr(self, "estate", None) is not None
+
     def _spec_rounds(self, draft0: int, k: int):
         """K fused spec rounds, ONE host sync (spec_segment). Requires a
         live estate (i.e. not the first round after prefill)."""
@@ -404,16 +407,17 @@ class SpecEngine(Engine):
                 not first
                 and seg > 1
                 and hasattr(self, "_spec_rounds")
-                and getattr(self, "estate", None) is not None
+                and self._segment_ready()
             )
             if not can_segment:
                 rounds = [self._spec_round(draft0)]
                 first = False
             else:
-                # every round accepts >=1 token, so the remaining need
-                # bounds the useful segment length (overshoot is wasted)
-                need = generation_length - emitted_count
-                rounds = self._spec_rounds(draft0, min(seg, max(1, need)))
+                # always run FULL segments: k is a static arg, so a
+                # need-clipped tail segment would compile a fresh program
+                # mid-generation (observed: one ~60s compile dwarfing the
+                # whole decode). Overshoot rounds are rolled back below.
+                rounds = self._spec_rounds(draft0, seg)
             for toks, n in rounds:
                 self.accept_lengths.append(n)
                 for j, t in enumerate(toks):
@@ -423,6 +427,14 @@ class SpecEngine(Engine):
                     yield item(t, finished, n if j == 0 else 0)
                     emitted_count += 1
                     if finished:
+                        # discard overshoot rounds: keep exactly the rows
+                        # behind the emitted tokens (rows past length are
+                        # lazily overwritten, cache/kv.py semantics). The
+                        # last emitted token's row is not written yet (it
+                        # would be the next round's root), hence -1.
+                        kept = len(input_ids) + emitted_count - 1
+                        self.cache = self.cache.with_length(kept)
+                        self.host_len = kept
                         return
                 draft0 = toks[-1]
 
