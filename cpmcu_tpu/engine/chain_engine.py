@@ -261,8 +261,11 @@ class ChainSpecEngine(Engine):
             attn_impl=self.attn_impl,
             sparse_select=self.sparse_engaged(),
         )
-        emitted = np.asarray(emitted)
-        alens = np.asarray(alens)
+        packed = np.asarray(
+            jnp.concatenate([emitted, alens[:, None].astype(emitted.dtype)],
+                            axis=1)
+        )  # one device->host transfer (tunnel RTT per fetch otherwise)
+        emitted, alens = packed[:, :-1], packed[:, -1]
         self.last_path_logits = None  # segment mode skips the parity rows
         rounds = []
         for r in range(k):

@@ -365,8 +365,13 @@ class SpecEngine(Engine):
             kv_span=self.kv_bucket(self.host_len + margin),
             unroll=self.unroll_layers(S, self.host_len + margin),
         )
-        emitted = np.asarray(emitted)  # the one sync
-        alens = np.asarray(alens)
+        # ONE device->host transfer: separate fetches of emitted and alens
+        # each pay a full tunnel round trip (~8ms/round of host gap at k=12)
+        packed = np.asarray(
+            jnp.concatenate([emitted, alens[:, None].astype(emitted.dtype)],
+                            axis=1)
+        )
+        emitted, alens = packed[:, :-1], packed[:, -1]
         rounds = []
         for r in range(k):
             n = int(alens[r])
