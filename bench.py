@@ -196,6 +196,7 @@ def main():
     # default one full chunk so prefill tok/s is not diluted by padding
     ap.add_argument("--prompt-len", type=int, default=2048)
     ap.add_argument("--max-len", type=int, default=0, help="0 = solve from HBM")
+    ap.add_argument("--chunk-len", type=int, default=2048)
     args = ap.parse_args()
 
     from cpmcu_tpu.core.config import MINICPM4_0_5B, MINICPM4_8B, EngineConfig
@@ -203,8 +204,10 @@ def main():
     cfg = {"minicpm4-0.5b": MINICPM4_0_5B, "minicpm4-8b": MINICPM4_8B}[args.config]
     if args.quant:
         cfg = dataclasses.replace(cfg, quant=True)
-    max_len = args.max_len or max(2048, args.prompt_len + args.steps + 256)
-    eng = EngineConfig(chunk_length=2048, max_total_length=max_len)
+    per_seq = max(2048, args.prompt_len + args.steps + 256)
+    # batch mode splits the budget across slots
+    max_len = args.max_len or per_seq * max(args.batch, 1)
+    eng = EngineConfig(chunk_length=args.chunk_len, max_total_length=max_len)
 
     try:
         wt = "w4a16" if args.quant else "bf16"

@@ -204,7 +204,11 @@ def flash_mha(
     if scale is None:
         scale = 1.0 / math.sqrt(D)
 
-    # cap the row tile (G*bqt) so q/acc/m/l scratch fits comfortably in VMEM
+    # cap the row tile (G*bqt) so q/acc/m/l scratch fits comfortably in
+    # VMEM. (A per-op microbenchmark preferred rows=256, but in-engine
+    # prefill measured 299ms/4-chunks at rows=1024 vs 346ms at 256 —
+    # engine numbers win; the tunnel's non-donated-input tax skews
+    # standalone kernel sweeps.)
     rows_cap = 1024
     bqt = min(bqt, _round_up(T, 8), max(8, rows_cap // G))
     bk = min(bk, S)
