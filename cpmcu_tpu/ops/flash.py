@@ -323,6 +323,131 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _slots_kernel(
+    len_ref,  # (B,) int32 history lengths (scalar prefetch)
+    q_ref,  # (1, 1, G, D)
+    k_ref,  # (1, 1, 1, BK, D)
+    v_ref,  # (1, 1, 1, BK, D)
+    o_ref,  # (1, 1, G, D)
+    lse_ref,  # (1, 1, G, 128)
+    m_scr, l_scr, acc_scr,
+    *,
+    scale: float,
+    bk: int,
+):
+    b = pl.program_id(0)
+    t = pl.program_id(2)
+    nb_total = pl.num_programs(2)
+    limit = len_ref[b]
+
+    @pl.when(t == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    nb = pl.cdiv(limit, bk)
+
+    @pl.when(t < nb)
+    def _compute():
+        q = q_ref[0, 0]  # (G, D)
+        k = k_ref[...].reshape(k_ref.shape[-2], k_ref.shape[-1])
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (G, bk)
+        j = t * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(j < limit, s, NEG_INF)
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = jnp.broadcast_to(
+            l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True),
+            l_scr.shape,
+        )
+        v = v_ref[...].reshape(v_ref.shape[-2], v_ref.shape[-1])
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(t == nb_total - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        lse = jnp.where(l == 0.0, NEG_INF, m_scr[:, :1] + jnp.log(l_safe))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("layer", "scale", "bk", "interpret")
+)
+def flash_mha_slots(
+    q: jax.Array,  # (B, H, D) — ONE query token per slot
+    k_cache: jax.Array,  # (B, L, KVH, S, D) slot arena
+    v_cache: jax.Array,
+    lengths: jax.Array,  # (B,) history rows per slot
+    *,
+    layer: int,
+    scale: Optional[float] = None,
+    bk: int = DEFAULT_BK,
+    interpret: Optional[bool] = None,
+):
+    """Batched decode attention over per-slot cache lanes (continuous
+    batching): each slot's single query attends its own history [0, len_b)
+    in place (static ``layer`` BlockSpec index — no per-slot/per-layer
+    slice copies). The freshly projected self token is merged outside via
+    the returned LSE (``merge_attn``). Returns (out (B,H,D), lse (B,H))."""
+    if interpret is None:
+        interpret = _interpret_default()
+    B, H, D = q.shape
+    KVH, S = k_cache.shape[2], k_cache.shape[3]
+    G = H // KVH
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    bk = min(bk, S)
+    nb = pl.cdiv(S, bk)
+    qg = q.reshape(B, KVH, G, D)
+
+    def q_index(b, h, t, len_ref):
+        return (b, h, 0, 0)
+
+    def kv_index(b, h, t, len_ref):
+        valid = jnp.maximum(pl.cdiv(len_ref[b], bk), 1)
+        return (b, layer, h, jnp.minimum(t, valid - 1), 0)
+
+    out, lse = pl.pallas_call(
+        functools.partial(_slots_kernel, scale=scale, bk=bk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, KVH, nb),
+            in_specs=[
+                pl.BlockSpec((1, 1, G, D), q_index),
+                pl.BlockSpec((1, 1, 1, bk, D), kv_index),
+                pl.BlockSpec((1, 1, 1, bk, D), kv_index),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, G, D), q_index),
+                pl.BlockSpec((1, 1, G, 128), q_index),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((G, 128), jnp.float32),
+                pltpu.VMEM((G, 128), jnp.float32),
+                pltpu.VMEM((G, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KVH, G, D), q.dtype),
+            jax.ShapeDtypeStruct((B, KVH, G, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(lengths, jnp.int32), qg, k_cache, v_cache)
+
+    return out.reshape(B, H, D), lse[..., 0].reshape(B, H)
+
+
 def merge_attn(out_a, lse_a, out_b, lse_b):
     """Softmax-merge two partial attention results over disjoint key sets.
 
