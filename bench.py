@@ -143,7 +143,10 @@ def bench_sparse(cfg, eng, steps=64, prompt_len=32768):
 
 
 def bench_batch(cfg, eng, steps=64, prompt_len=128, batch=8):
-    """Continuous batching aggregate throughput (no reference counterpart)."""
+    """Continuous batching aggregate throughput (no reference counterpart).
+
+    Prefill (sequential per-slot admission) and lockstep decode are timed
+    separately — mixing them understates both."""
     import jax
 
     from cpmcu_tpu.engine.batch_engine import ContinuousBatchingEngine
@@ -161,12 +164,21 @@ def bench_batch(cfg, eng, steps=64, prompt_len=128, batch=8):
 
     submit_all()
     be.run()  # warmup/compile
-    ids = submit_all()
+    submit_all()
     t0 = time.time()
-    out = be.run()
+    be._admit([])  # all slot prefills
+    prefill_dt = time.time() - t0
+    seg = max(1, eng.decode_segment_size)
+    t0 = time.time()
+    n = 0
+    while be.active:
+        n += len(be.step_segment(seg))
     dt = time.time() - t0
-    total = sum(len(out[r]) for r in ids)
-    return {"decode_tok_s": total / dt, "prefill_tok_s": 0.0, "batch": batch}
+    return {
+        "decode_tok_s": n / dt,
+        "prefill_tok_s": batch * prompt_len / max(prefill_dt, 1e-9),
+        "batch": batch,
+    }
 
 
 def main():

@@ -317,7 +317,7 @@ def quant_matmul_pallas(
             # widest divisor first; 1536 covers the fused qkv N=4608
             bn = next((b for b in (2048, 1536, 1024, 512) if N % b == 0), 512)
         else:
-            bn = 512
+            bn = next((b for b in (1024, 512) if N % b == 0), 512)
     bn = min(bn, _round_up(N, 128))
 
     if layer is not None and (Mp > 64 or N % bn != 0):
@@ -387,6 +387,9 @@ def quant_matmul_pallas(
             pltpu.VMEM((Mp, bn), jnp.float32),
             pltpu.VMEM((KCHUNK, bn), dq_dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(x, q, s)
     return out[:M, :N]
