@@ -19,7 +19,10 @@ import jax.numpy as jnp
 
 
 def rms_norm(x, weight, eps: float):
-    """RMSNorm in fp32 (the reference kernel accumulates float, norm.cuh:20-40)."""
+    """RMSNorm in fp32 (the reference kernel accumulates float, norm.cuh:20-40).
+
+    (An MXU self-dot variance variant measured identically at decode —
+    the VPU reduce is not a bottleneck.)"""
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     out = xf * jax.lax.rsqrt(var + eps)
