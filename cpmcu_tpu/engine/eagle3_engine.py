@@ -189,6 +189,40 @@ def e3_step(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "base_cfg", "ecfg", "k", "temperature", "top_k", "top_p", "attn_impl",
+        "sparse_select",
+    ),
+    donate_argnames=("cache", "estate"),
+)
+def e3_segment(
+    base_cfg, ecfg, params, eparams, rope, cache, estate: Eagle3State,
+    draft0, key,
+    *, k: int, temperature, top_k, top_p, attn_impl,
+    sparse_select: bool = False,
+):
+    """K EAGLE-3 rounds fused into one device program, one host sync (the
+    spec_engine.spec_segment analog — per-round dispatch pays a full
+    tunnel round trip otherwise)."""
+
+    def body(carry, _):
+        cache, estate, d0, key = carry
+        emitted, alen, cache, estate, key, _ = e3_step.__wrapped__(
+            base_cfg, ecfg, params, eparams, rope, cache, estate, d0, key,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            attn_impl=attn_impl, sparse_select=sparse_select,
+        )
+        nxt = emitted[jnp.clip(alen - 1, 0, emitted.shape[0] - 1)]
+        return (cache, estate, nxt, key), (emitted, alen)
+
+    (cache, estate, _, key), (emitted, alens) = jax.lax.scan(
+        body, (cache, estate, draft0, key), None, length=k
+    )
+    return emitted, alens, cache, estate, key
+
+
 class Eagle3Engine(Engine):
     """Engine with EAGLE-3 tree speculation (LLM_with_eagle v3 analog)."""
 
@@ -292,6 +326,35 @@ class Eagle3Engine(Engine):
         self.last_path_logits = np.asarray(path_logits, np.float32)[:n]
         toks = np.asarray(emitted)[:n].tolist()
         return toks, n
+
+    def _segment_ready(self) -> bool:
+        return self.estate is not None
+
+    def _spec_rounds(self, draft0: int, k: int):
+        """K fused EAGLE-3 rounds, one host sync."""
+        emitted, alens, self.cache, self.estate, self.key = e3_segment(
+            self.cfg, self.ecfg, self.params, self.eparams, self.rope,
+            self.cache, self.estate,
+            jnp.asarray(draft0, jnp.int32), self.key,
+            k=k,
+            temperature=self.eng.temperature,
+            top_k=self.eng.top_k,
+            top_p=self.eng.top_p,
+            attn_impl=self.attn_impl,
+            sparse_select=self.sparse_engaged(),
+        )
+        packed = np.asarray(
+            jnp.concatenate([emitted, alens[:, None].astype(emitted.dtype)],
+                            axis=1)
+        )  # one device->host transfer
+        emitted, alens = packed[:, :-1], packed[:, -1]
+        self.last_path_logits = None  # segment mode skips the parity rows
+        rounds = []
+        for r in range(k):
+            n = int(alens[r])
+            self.host_len += n
+            rounds.append((emitted[r, :n].tolist(), n))
+        return rounds
 
     # streaming loop shared with SpecEngine
     from .spec_engine import SpecEngine as _S
