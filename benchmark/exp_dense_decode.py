@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cpmcu_tpu.core.config import MINICPM4_8B, EngineConfig
+from cpmcu_tpu.core.config import MINICPM4_0_5B, MINICPM4_8B, EngineConfig
 from cpmcu_tpu.engine.engine import Engine, decode_segment
 
 PROMPT = 128
@@ -31,7 +31,10 @@ SEGS_PER_REP = 8
 
 
 def main():
-    cfg = dataclasses.replace(MINICPM4_8B, quant=True)
+    if os.environ.get("CPMCU_BENCH_CONFIG") == "0.5b":
+        cfg = MINICPM4_0_5B  # bf16 dense
+    else:
+        cfg = dataclasses.replace(MINICPM4_8B, quant=True)
     eng = EngineConfig(chunk_length=2048, max_total_length=4096)
     from bench import make_params
 
