@@ -107,3 +107,40 @@ def test_mha_flash_dispatch_tree():
     ref = mha_xla(q, k, v, prior_j, tm)
     out = mha_flash(q, k, v, prior_j, tree_mask=tm)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_slots_matches_per_slot_xla():
+    """Batched slot-decode kernel (continuous batching): each slot's single
+    query over its own cache lane + LSE self-merge must equal the XLA
+    oracle run per slot over history+self."""
+    from cpmcu_tpu.ops.flash import flash_mha_slots, merge_attn
+
+    B, L, H, KVH, D, S = 3, 2, 8, 2, 128, 96
+    G = H // KVH
+    rng = jax.random.PRNGKey(3)
+    kq, kk, kv2, kn = jax.random.split(rng, 4)
+    q = jax.random.normal(kq, (B, H, D), jnp.float32)
+    kc = jax.random.normal(kk, (B, L, KVH, S, D), jnp.float32)
+    vc = jax.random.normal(kv2, (B, L, KVH, S, D), jnp.float32)
+    k_new = jax.random.normal(kn, (B, KVH, D), jnp.float32)
+    v_new = jax.random.normal(jax.random.PRNGKey(9), (B, KVH, D), jnp.float32)
+    lengths = jnp.asarray([0, 17, 64], jnp.int32)  # incl. empty history
+
+    li = 1
+    out_h, lse_h = flash_mha_slots(
+        q, kc, vc, lengths, layer=li, bk=32, interpret=True
+    )
+    # self merge (lse of a single key = its score)
+    kb = jnp.repeat(k_new, G, axis=1)
+    vb = jnp.repeat(v_new, G, axis=1)
+    s_self = jnp.sum(q * kb, axis=-1) / jnp.sqrt(jnp.float32(D))
+    got = merge_attn(out_h, lse_h, vb, s_self)
+
+    for b in range(B):
+        # oracle: write the self row at lengths[b], attend [0, len+1)
+        kf = kc[b, li].at[:, lengths[b]].set(k_new[b])
+        vf = vc[b, li].at[:, lengths[b]].set(v_new[b])
+        ref = mha_xla(q[b][None], kf, vf, lengths[b])
+        np.testing.assert_allclose(
+            np.asarray(got[b]), np.asarray(ref[0]), rtol=2e-5, atol=2e-5
+        )
