@@ -228,6 +228,14 @@ def main():
             r = bench_batch(cfg, eng, steps=args.steps, prompt_len=args.prompt_len,
                             batch=args.batch)
             mode = f"batch{args.batch}"
+        elif args.sparse and args.spec:
+            # the reference headline configuration: W4A16 + InfLLM-v2 +
+            # EAGLE/FR-Spec at long context (README.md:93-105)
+            cfg = dataclasses.replace(cfg, apply_sparse=True)
+            r = bench_spec(cfg, eng, steps=args.steps, prompt_len=args.prompt_len,
+                           spec_type=args.spec_type)
+            extra["mean_accept_length"] = round(r["mean_accept"], 3)
+            mode = f"sparse-{args.prompt_len}ctx-{args.spec_type}-spec"
         elif args.sparse:
             r = bench_sparse(cfg, eng, steps=args.steps, prompt_len=args.prompt_len)
             mode = f"sparse-{args.prompt_len}ctx"
