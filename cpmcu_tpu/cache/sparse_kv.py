@@ -115,16 +115,22 @@ def commit_any(cache, n, *, max_new: int):
     return cache.with_length(cache.length + jnp.asarray(n, jnp.int32))
 
 
-def compact_sparse(cache: SparseKVCache, accept_pos, accept_len, base_len) -> SparseKVCache:
+def compact_sparse(
+    cache: SparseKVCache, accept_pos, accept_len, base_len,
+    defer_compress: bool = False,
+) -> SparseKVCache:
     """Tree-verify KV fixup + commit of the accepted rows.
 
     Dense rows move exactly like cache.kv.compact (tree_drafter.cuh:48-101);
     the compressed mirrors then advance over the newly committed span. The
-    tree region is bounded by accept_pos.shape[0] (= tree_size).
-    """
+    tree region is bounded by accept_pos.shape[0] (= tree_size). With
+    ``defer_compress`` only the length advances — fused-segment callers
+    compress once after their scan (see spec.verify.fix_kv)."""
     from .kv import compact as dense_compact
 
     tree_size = accept_pos.shape[0]
     dense = dense_compact(cache.dense_view(), accept_pos, accept_len, base_len)
     moved = SparseKVCache(dense.k, dense.v, cache.c1, cache.c2, base_len)
+    if defer_compress:
+        return moved.with_length(base_len + jnp.asarray(accept_len, jnp.int32))
     return commit(moved, accept_len, max_new=tree_size)

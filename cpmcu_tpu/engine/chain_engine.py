@@ -38,7 +38,7 @@ from .engine import Engine
     jax.jit,
     static_argnames=(
         "base_cfg", "draft_cfg", "num_iter", "temperature", "top_k", "top_p",
-        "attn_impl", "sparse_select",
+        "attn_impl", "sparse_select", "defer_compress",
     ),
     donate_argnames=("cache", "dcache"),
 )
@@ -53,7 +53,7 @@ def chain_spec_step(
     draft0,  # int32: newest accepted token (chain root)
     key,
     *, num_iter: int, temperature: float, top_k: int, top_p: float,
-    attn_impl: str, sparse_select: bool = False,
+    attn_impl: str, sparse_select: bool = False, defer_compress: bool = False,
 ):
     """One draft->decode->verify round. Returns
     (emitted (num_iter+1,), accept_len, cache, dcache, key, path_logits)."""
@@ -111,7 +111,8 @@ def chain_spec_step(
     accept_len, accept_pos, emitted = verify_tree(
         chain, gt, positions, tree_mask, tree_parent, orig
     )
-    cache = fix_kv(cache, accept_pos, accept_len, orig)
+    cache = fix_kv(cache, accept_pos, accept_len, orig,
+                   defer_compress=defer_compress)
     # drafter rollback: accepted rows are already a contiguous prefix
     dcache = dcache.with_length(dorig + num_prev)
 
@@ -138,13 +139,15 @@ def chain_spec_segment(
     profiled ~75ms/round of host gap vs ~30ms device). Returns
     (emitted (k, num_iter+1), accept_lens (k,), cache, dcache, key)."""
 
+    base_len = cache.length
+
     def body(carry, _):
         cache, dcache, prev, nprev, d0, key = carry
         emitted, alen, cache, dcache, key, _ = chain_spec_step.__wrapped__(
             base_cfg, draft_cfg, params, dparams, rope, drope, cache, dcache,
             prev, nprev, d0, key, num_iter=num_iter, temperature=temperature,
             top_k=top_k, top_p=top_p, attn_impl=attn_impl,
-            sparse_select=sparse_select,
+            sparse_select=sparse_select, defer_compress=True,
         )
         S = emitted.shape[0]
         nxt = emitted[jnp.clip(alen - 1, 0, S - 1)]
@@ -155,6 +158,10 @@ def chain_spec_segment(
         body, (cache, dcache, prev_tokens, num_prev, draft0, key),
         None, length=k,
     )
+    if hasattr(cache, "c1"):
+        from ..cache.sparse_kv import compress_span
+
+        cache = compress_span(cache, base_len, max_new=k * (num_iter + 1))
     return emitted, alens, cache, dcache, key
 
 

@@ -57,6 +57,7 @@ def _run_prefix(ecfg, ep, emb, taps, positions, ekv, rope, prior, attn_impl):
 def _expand_and_verify(
     base_cfg, ecfg, params, eparams, rope, cache, ekv, h_root, draft0, key,
     *, temperature, top_k, top_p, attn_impl, sparse_select=False,
+    defer_compress=False,
 ):
     orig = cache.length
     tree_tokens, tree_pos, tree_mask, tree_parent, ekv = eagle3_draft(
@@ -78,7 +79,8 @@ def _expand_and_verify(
     accept_len, accept_pos, emitted = verify_tree(
         tree_tokens, gt, tree_pos, tree_mask, tree_parent, orig
     )
-    cache = fix_kv(cache, accept_pos, accept_len, orig)
+    cache = fix_kv(cache, accept_pos, accept_len, orig,
+                   defer_compress=defer_compress)
 
     estate = Eagle3State(
         kv=ekv.with_length(orig),
@@ -166,7 +168,7 @@ def e3_step_first(
     jax.jit,
     static_argnames=(
         "base_cfg", "ecfg", "temperature", "top_k", "top_p", "attn_impl",
-        "sparse_select",
+        "sparse_select", "defer_compress",
     ),
     donate_argnames=("cache", "estate"),
 )
@@ -174,6 +176,7 @@ def e3_step(
     base_cfg, ecfg, params, eparams, rope, cache, estate: Eagle3State,
     draft0, key,
     *, temperature, top_k, top_p, attn_impl, sparse_select: bool = False,
+    defer_compress: bool = False,
 ):
     S = ecfg.tree_size
     positions = estate.pos0 + jnp.arange(S, dtype=jnp.int32)
@@ -185,7 +188,7 @@ def e3_step(
     return _expand_and_verify(
         base_cfg, ecfg, params, eparams, rope, cache, ekv, h_root, draft0, key,
         temperature=temperature, top_k=top_k, top_p=top_p, attn_impl=attn_impl,
-        sparse_select=sparse_select,
+        sparse_select=sparse_select, defer_compress=defer_compress,
     )
 
 
@@ -207,12 +210,15 @@ def e3_segment(
     spec_engine.spec_segment analog — per-round dispatch pays a full
     tunnel round trip otherwise)."""
 
+    base_len = cache.length
+
     def body(carry, _):
         cache, estate, d0, key = carry
         emitted, alen, cache, estate, key, _ = e3_step.__wrapped__(
             base_cfg, ecfg, params, eparams, rope, cache, estate, d0, key,
             temperature=temperature, top_k=top_k, top_p=top_p,
             attn_impl=attn_impl, sparse_select=sparse_select,
+            defer_compress=True,
         )
         nxt = emitted[jnp.clip(alen - 1, 0, emitted.shape[0] - 1)]
         return (cache, estate, nxt, key), (emitted, alen)
@@ -220,6 +226,10 @@ def e3_segment(
     (cache, estate, _, key), (emitted, alens) = jax.lax.scan(
         body, (cache, estate, draft0, key), None, length=k
     )
+    if hasattr(cache, "c1"):
+        from ..cache.sparse_kv import compress_span
+
+        cache = compress_span(cache, base_len, max_new=k * ecfg.tree_size)
     return emitted, alens, cache, estate, key
 
 

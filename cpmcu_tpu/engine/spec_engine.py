@@ -42,7 +42,7 @@ def _embed(base_cfg: ModelConfig, params, ids):
 def _expand_and_verify(
     base_cfg, ecfg, params, eparams, rope, cache, ekv, h_root, draft0, key,
     *, temperature, top_k, top_p, attn_impl, sparse_select=False, kv_span=None,
-    unroll=False,
+    unroll=False, defer_compress=False,
 ):
     orig = cache.length
     tree_tokens, tree_pos, tree_mask, tree_parent, ekv = eagle_draft(
@@ -65,7 +65,8 @@ def _expand_and_verify(
     accept_len, accept_pos, emitted = verify_tree(
         tree_tokens, gt, tree_pos, tree_mask, tree_parent, orig
     )
-    cache = fix_kv(cache, accept_pos, accept_len, orig)
+    cache = fix_kv(cache, accept_pos, accept_len, orig,
+                   defer_compress=defer_compress)
 
     estate = EagleState(
         kv=ekv.with_length(orig),
@@ -165,14 +166,14 @@ def spec_step_first(
     jax.jit,
     static_argnames=(
         "base_cfg", "ecfg", "temperature", "top_k", "top_p", "attn_impl",
-        "sparse_select", "kv_span", "unroll",
+        "sparse_select", "kv_span", "unroll", "defer_compress",
     ),
     donate_argnames=("cache", "estate"),
 )
 def spec_step(
     base_cfg, ecfg, params, eparams, rope, cache, estate: EagleState, draft0, key,
     *, temperature, top_k, top_p, attn_impl, sparse_select: bool = False,
-    kv_span=None, unroll: bool = False,
+    kv_span=None, unroll: bool = False, defer_compress: bool = False,
 ):
     """One draft -> tree-decode -> verify round (eagle_decode path)."""
     S = ecfg.tree_size
@@ -188,6 +189,7 @@ def spec_step(
         base_cfg, ecfg, params, eparams, rope, cache, ekv, h_root, draft0, key,
         temperature=temperature, top_k=top_k, top_p=top_p, attn_impl=attn_impl,
         sparse_select=sparse_select, kv_span=kv_span, unroll=unroll,
+        defer_compress=defer_compress,
     )
 
 
@@ -211,13 +213,15 @@ def spec_segment(
     dominates the step time. Returns (emitted (k, S), accept_lens (k,),
     cache, estate, key)."""
 
+    base_len = cache.length
+
     def body(carry, _):
         cache, estate, d0, key = carry
         emitted, alen, cache, estate, key, _ = spec_step.__wrapped__(
             base_cfg, ecfg, params, eparams, rope, cache, estate, d0, key,
             temperature=temperature, top_k=top_k, top_p=top_p,
             attn_impl=attn_impl, sparse_select=sparse_select, kv_span=kv_span,
-            unroll=unroll,
+            unroll=unroll, defer_compress=True,
         )
         nxt = emitted[jnp.clip(alen - 1, 0, emitted.shape[0] - 1)]
         return (cache, estate, nxt, key), (emitted, alen)
@@ -225,6 +229,12 @@ def spec_segment(
     (cache, estate, _, key), (emitted, alens) = jax.lax.scan(
         body, (cache, estate, draft0, key), None, length=k
     )
+    if hasattr(cache, "c1"):
+        # one compress for the whole segment (in-scan compress ping-pongs
+        # the cache; see engine.decode_segment)
+        from ..cache.sparse_kv import compress_span
+
+        cache = compress_span(cache, base_len, max_new=k * ecfg.tree_size)
     return emitted, alens, cache, estate, key
 
 

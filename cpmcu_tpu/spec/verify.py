@@ -57,14 +57,22 @@ def verify_tree(
     return accept_len.astype(jnp.int32), accept_pos, emitted
 
 
-def fix_kv(cache, accept_pos, accept_len, prior):
+def fix_kv(cache, accept_pos, accept_len, prior, defer_compress=False):
     """Move the accepted nodes' KV rows (prior + accept_pos[j]) to
     (prior + j) across all layers and set length = prior + accept_len
     (tree_drafter.cuh:48-101). Sparse caches also advance their compressed
-    mirrors over the newly committed span."""
+    mirrors over the newly committed span — unless ``defer_compress``: a
+    compress inside a fused-segment scan body defeats XLA's in-place carry
+    analysis and ping-pongs the whole cache (see engine.decode_segment);
+    segment callers run ONE compress_span after the scan instead. The
+    extra c1/c2 lag (<= segment_rounds * tree_size tokens) stays inside
+    the forced local selection window."""
     prior = jnp.asarray(prior, jnp.int32)
     if hasattr(cache, "c1"):
         from ..cache.sparse_kv import compact_sparse
 
-        return compact_sparse(cache, accept_pos, accept_len, prior)
+        return compact_sparse(
+            cache, accept_pos, accept_len, prior,
+            defer_compress=defer_compress,
+        )
     return compact(cache, accept_pos, accept_len, prior)
