@@ -448,10 +448,10 @@ class ContinuousBatchingEngine:
         out: Dict[int, List[int]] = {}
         seg = max(1, self.eng.decode_segment_size)
         while self.has_work:
-            # shortest remaining budget bounds the segment (no wasted steps)
-            rem = [r.max_new_tokens - r.emitted for r in self.active.values()]
-            k = max(1, min([seg] + [r for r in rem if r > 0] or [1]))
-            for ev in self.step_segment(k):
+            # always full segments: k is a static jit arg, so clipping to
+            # the shortest remaining budget compiles a fresh program per
+            # distinct k; step_segment rolls back overshoot instead
+            for ev in self.step_segment(seg):
                 out.setdefault(ev.request_id, [])
                 if ev.token not in self._terminators_of(ev.request_id):
                     out[ev.request_id].append(ev.token)
