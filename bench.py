@@ -200,6 +200,11 @@ def main():
     ap.add_argument("--quant", dest="quant", action="store_true", default=True,
                     help="W4A16 weights (default for the 8B headline)")
     ap.add_argument("--no-quant", dest="quant", action="store_false")
+    ap.add_argument("--no-quant-lmhead", dest="quant_lmhead",
+                    action="store_false", default=True,
+                    help="keep the lm_head bf16 (the reference keeps fp16; "
+                    "W4 head is the default — logits delta bounded by "
+                    "tools/logits_parity.py)")
     ap.add_argument("--spec", action="store_true", help="speculative decoding")
     ap.add_argument("--spec-type", default="eagle2", choices=["eagle2", "chain"])
     ap.add_argument("--sparse", action="store_true", help="InfLLM-v2 long context")
@@ -215,7 +220,8 @@ def main():
 
     cfg = {"minicpm4-0.5b": MINICPM4_0_5B, "minicpm4-8b": MINICPM4_8B}[args.config]
     if args.quant:
-        cfg = dataclasses.replace(cfg, quant=True)
+        cfg = dataclasses.replace(cfg, quant=True,
+                                  quant_lmhead=args.quant_lmhead)
     per_seq = max(2048, args.prompt_len + args.steps + 256)
     # batch mode splits the budget across slots
     max_len = args.max_len or per_seq * max(args.batch, 1)

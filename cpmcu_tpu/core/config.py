@@ -93,6 +93,11 @@ class ModelConfig:
     # --- quantization (W4A16 GPTQ; reference §2.4) ---
     quant: bool = False
     quant_group_size: int = 128
+    # W4 lm_head (TPU addition): the reference keeps its lm_head fp16
+    # (cpmcu/llm.py:136); at decode the bf16 head costs 0.8ms/token of HBM
+    # (600MB read) vs ~0.25ms at 4-bit. Parity-affecting — logits delta is
+    # bounded by tools/logits_parity.py; off by default, on in bench.py.
+    quant_lmhead: bool = False
 
     # --- InfLLM-v2 block-sparse attention (reference §2.5; defaults from
     # cpmcu/common/args.py:72-84: sink 1, block window 8, topk 64, switch 0,

@@ -51,17 +51,26 @@ def iter_checkpoint_tensors(path: str):
 
     for file in file_list:
         if file.endswith(".safetensors"):
-            # prefer the native zero-copy mmap reader (csrc/stloader.cc)
+            # prefer the native zero-copy mmap reader (csrc/stloader.cc).
+            # Open + dtype-validate BEFORE yielding anything: once tensors
+            # have been consumed, falling back to safe_open would re-yield
+            # them (ADVICE.md round-1).
+            nf = None
             try:
                 from .native import NativeSafetensors
 
-                with NativeSafetensors(file) as nf:
+                nf = NativeSafetensors(file)
+                nf.validate_dtypes()
+            except (RuntimeError, OSError, KeyError, ValueError):
+                if nf is not None:
+                    nf.close()
+                nf = None
+            if nf is not None:
+                with nf:
                     for name in nf.keys():
                         # materialize: the zero-copy view dies with the mmap
                         yield name, nf.get(name).copy()
                 continue
-            except (RuntimeError, OSError):
-                pass
             from safetensors import safe_open
 
             with safe_open(file, framework="np") as f:
@@ -248,11 +257,21 @@ def load_params(
         else:
             layers[sub] = dev(stacked, key)
 
+    if cfg.quant_lmhead:
+        # quantize the (bf16) checkpoint lm_head at load time; N-padded for
+        # the decode kernel's wide tiles (layers.modules.lm_head re-slices)
+        from ..ops.quant import pack_weights_padded
+
+        pk = pack_weights_padded(np.asarray(top["lm_head"], np.float32))
+        lm = {"q": dev(pk["q"], "lm_head.q", jnp.int32),
+              "s": dev(pk["s"], "lm_head.s", jnp.float32)}
+    else:
+        lm = {"w": dev(top["lm_head"], "lm_head.w")}
     params = {
         "embed": dev(top["embed"], "embed"),
         "layers": layers,
         "final_norm": dev(top["final_norm"], "final_norm"),
-        "lm_head": {"w": dev(top["lm_head"], "lm_head.w")},
+        "lm_head": lm,
     }
     return params
 

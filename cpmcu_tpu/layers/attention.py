@@ -120,6 +120,8 @@ def attention_block_zerocopy(
     span: int = 0,  # static bucket bounding valid cache rows (engine
                     # kv_bucket); sizes the dense kernel's KV grid so big
                     # capacities cost no skipped grid steps
+    norm=None,  # (attn_norm_weight, eps): x arrives UN-normed and the norm
+                # fuses into the quant qkv kernel (layers.modules.linear)
 ):
     """Zero-copy decode attention: the history kernel reads the stacked
     cache in place (static ``layer`` BlockSpec index), the T new rows attend
@@ -135,7 +137,7 @@ def attention_block_zerocopy(
 
     T = x.shape[0]
     if "wqkv" in p:
-        qkv = linear(p["wqkv"], x, li)
+        qkv = linear(p["wqkv"], x, li, norm=norm)
         q = qkv[:, : cfg.q_size].reshape(T, cfg.num_heads, cfg.head_dim)
         k = qkv[:, cfg.q_size : cfg.q_size + cfg.kv_size].reshape(
             T, cfg.num_kv_heads, cfg.head_dim
@@ -144,9 +146,9 @@ def attention_block_zerocopy(
             T, cfg.num_kv_heads, cfg.head_dim
         )
     else:
-        q = linear(p["wq"], x, li).reshape(T, cfg.num_heads, cfg.head_dim)
-        k = linear(p["wk"], x, li).reshape(T, cfg.num_kv_heads, cfg.head_dim)
-        v = linear(p["wv"], x, li).reshape(T, cfg.num_kv_heads, cfg.head_dim)
+        q = linear(p["wq"], x, li, norm=norm).reshape(T, cfg.num_heads, cfg.head_dim)
+        k = linear(p["wk"], x, li, norm=norm).reshape(T, cfg.num_kv_heads, cfg.head_dim)
+        v = linear(p["wv"], x, li, norm=norm).reshape(T, cfg.num_kv_heads, cfg.head_dim)
     if cfg.use_qk_norm:
         q = rms_norm(q, p["q_norm"][li], cfg.rms_norm_eps)
         k = rms_norm(k, p["k_norm"][li], cfg.rms_norm_eps)

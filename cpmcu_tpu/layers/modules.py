@@ -39,17 +39,21 @@ def add_rms_norm(x, residual, weight, eps: float):
     return rms_norm(s, weight, eps), s
 
 
-def linear(p: dict, x, layer=None):
+def linear(p: dict, x, layer=None, norm=None):
     """Dense or W4A16 linear. ``p`` is {'w': (in,out)[, 'b': (out,)]} or a
     quantized pack {'q','s'} handled by ops.quant. With ``layer`` (static),
     ``p`` holds stacked (L, ...) tensors read in place — the quant kernel
     indexes them via its BlockSpec so no per-layer slice copy happens (the
-    zero-copy decode path)."""
+    zero-copy decode path). With ``norm=(weight, eps)``, ``x`` arrives
+    UN-normed and ``rms_norm(x)*weight`` is fused into the quant decode
+    kernel (applied as a separate op for dense weights)."""
     if "q" in p:
         from ..ops.quant import quant_matmul
 
-        y = quant_matmul(x, p["q"], p["s"], layer=layer)
+        y = quant_matmul(x, p["q"], p["s"], layer=layer, norm=norm)
     else:
+        if norm is not None:
+            x = rms_norm(x, norm[0], norm[1])
         w = p["w"] if layer is None else p["w"][layer]
         y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
     if "b" in p:
@@ -77,25 +81,43 @@ def embedding(embed_table, token_ids, scale_emb: float, dtype):
     return h
 
 
-def lm_head(p: dict, x, scale_lmhead: float):
+def lm_head(p: dict, x, scale_lmhead: float, norm=None, n_out=None):
     """Final projection; MiniCPM pre-scales hidden by dim_model_base/hidden
-    (llm.py:67, linear.cuh LMHead head_scale)."""
-    if scale_lmhead != 1.0:
-        x = x * jnp.asarray(scale_lmhead, x.dtype)
-    return linear(p, x)
+    (llm.py:67, linear.cuh LMHead head_scale).
+
+    ``norm=(final_norm_weight, eps)``: ``x`` arrives un-normed and the final
+    RMSNorm (with the lm_head pre-scale folded into its weight) fuses into
+    the quant decode kernel. ``n_out`` slices logits back to the true vocab
+    when the W4 lm_head pack is N-padded (ops.quant.pack_weights_padded)."""
+    if norm is not None and "q" in p:
+        # fold the pre-scale into the f32 norm weight (one fewer bf16 round)
+        w = norm[0].astype(jnp.float32) * scale_lmhead
+        y = linear(p, x, norm=(w, norm[1]))
+    else:
+        if norm is not None:  # dense head: no kernel to fuse into — keep the
+            x = rms_norm(x, norm[0], norm[1])  # exact legacy op order
+
+        if scale_lmhead != 1.0:
+            x = x * jnp.asarray(scale_lmhead, x.dtype)
+        y = linear(p, x)
+    if n_out is not None and y.shape[-1] != n_out:
+        y = y[..., :n_out]
+    return y
 
 
-def gated_ffn(p: dict, x, layer=None):
+def gated_ffn(p: dict, x, layer=None, norm=None):
     """norm -> gate/up -> SiLU(gate)*up -> down (ffn.cuh:77-84). Supports a
     fused [gate|up] projection (the reference's gateup GEMM +
     gated_silu_interleaved, activation.cuh:5-40 — ours concatenates on N
-    instead of interleaving)."""
+    instead of interleaving). ``norm``: see ``linear`` (x arrives un-normed;
+    with split gate/up the fused norm recomputes per projection — identical
+    numerics, negligible VPU cost)."""
     if "w_gateup" in p:
-        gu = linear(p["w_gateup"], x, layer)
+        gu = linear(p["w_gateup"], x, layer, norm=norm)
         half = gu.shape[-1] // 2
         gate, up = gu[..., :half], gu[..., half:]
     else:
-        gate = linear(p["w_gate"], x, layer)
-        up = linear(p["w_up"], x, layer)
+        gate = linear(p["w_gate"], x, layer, norm=norm)
+        up = linear(p["w_up"], x, layer, norm=norm)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
     return linear(p["w_down"], act, layer)

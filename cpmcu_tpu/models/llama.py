@@ -163,7 +163,8 @@ def forward_batch(cfg: ModelConfig, params: dict, tokens: jax.Array) -> jax.Arra
 
     h, _ = jax.lax.scan(body, h, params["layers"])
     normed = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
-    logits = lm_head(params["lm_head"], normed, cfg.scale_lmhead)
+    logits = lm_head(params["lm_head"], normed, cfg.scale_lmhead,
+                     n_out=cfg.vocab_size)
     return logits.astype(jnp.float32)
 
 
@@ -277,15 +278,18 @@ def forward(
         # by the layer-indexed kernels (slicing them per layer — tree.map
         # x[li] — copies every weight each step: 12ms/token on the 8B)
         for li in range(cfg.num_layers):
-            normed = rms_norm(h, lp["attn_norm"][li], cfg.rms_norm_eps)
+            # the pre-attention / pre-FFN RMSNorms fuse into the quant qkv /
+            # gate-up kernels (un-normed h goes in; ops/quant norm fusion)
             attn_out, k_li, v_li = attention_block_zerocopy(
-                cfg, lp, normed, positions, cache, li,
+                cfg, lp, h, positions, cache, li,
                 rope_cos, rope_sin, tree_mask, window, sink, attn_impl,
                 sparse_select=sparse_select, span=span or 0,
+                norm=(lp["attn_norm"][li], cfg.rms_norm_eps),
             )
             h = h + attn_out * jnp.asarray(cfg.scale_residual, h.dtype)
-            normed = rms_norm(h, lp["ffn_norm"][li], cfg.rms_norm_eps)
-            ffn_out = gated_ffn(lp, normed, layer=li)
+            ffn_out = gated_ffn(
+                lp, h, layer=li, norm=(lp["ffn_norm"][li], cfg.rms_norm_eps)
+            )
             if tap_layers and li in tap_layers:
                 taps = taps.at[tap_layers.index(li)].set(ffn_out)
             h = h + ffn_out * jnp.asarray(cfg.scale_residual, h.dtype)
@@ -330,18 +334,24 @@ def forward(
     if logits_mode == "none" and not return_hidden:
         return (h, new_cache) + extras
 
-    if return_hidden or logits_mode == "all":
-        normed_all = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    fnorm = (params["final_norm"], cfg.rms_norm_eps)
+    if return_hidden:
+        normed_all = rms_norm(h, *fnorm)
 
     if logits_mode == "none":
         return (h, new_cache, normed_all) + extras
     if logits_mode == "index":
         idx = jnp.asarray(0 if logits_idx is None else logits_idx, jnp.int32)
         h_sel = jax.lax.dynamic_slice_in_dim(h, idx, 1, axis=0)
-        normed = rms_norm(h_sel, params["final_norm"], cfg.rms_norm_eps)
+        # final norm (+ lm_head pre-scale) fuses into the quant lm_head kernel
+        logits = lm_head(params["lm_head"], h_sel, cfg.scale_lmhead,
+                         norm=fnorm, n_out=cfg.vocab_size)
+    elif return_hidden:
+        logits = lm_head(params["lm_head"], normed_all, cfg.scale_lmhead,
+                         n_out=cfg.vocab_size)
     else:
-        normed = normed_all
-    logits = lm_head(params["lm_head"], normed, cfg.scale_lmhead)
+        logits = lm_head(params["lm_head"], h, cfg.scale_lmhead,
+                         norm=fnorm, n_out=cfg.vocab_size)
     if return_hidden:
         return (logits.astype(jnp.float32), new_cache, normed_all) + extras
     return (logits.astype(jnp.float32), new_cache) + extras

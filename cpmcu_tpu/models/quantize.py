@@ -24,7 +24,11 @@ QUANT_LINEARS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
 def quantize_params(params: dict, cfg: ModelConfig) -> dict:
-    """Dense stacked pytree -> W4A16 pytree ({'w'} -> {'q','s'} packs)."""
+    """Dense stacked pytree -> W4A16 pytree ({'w'} -> {'q','s'} packs).
+
+    With ``cfg.quant_lmhead`` the lm_head also quantizes, N-padded to the
+    decode kernel's widest tile (pack_weights_padded); logits are sliced
+    back to the vocab by layers.modules.lm_head."""
     layers = dict(params["layers"])
     for name in QUANT_LINEARS:
         p = dict(layers[name])
@@ -38,7 +42,14 @@ def quantize_params(params: dict, cfg: ModelConfig) -> dict:
         p["q"] = jnp.asarray(np.stack(qs))
         p["s"] = jnp.asarray(np.stack(ss))
         layers[name] = p
-    return {**params, "layers": layers}
+    out = {**params, "layers": layers}
+    if cfg.quant_lmhead and "w" in params.get("lm_head", {}):
+        from ..ops.quant import pack_weights_padded
+
+        out["lm_head"] = pack_weights_padded(
+            np.asarray(params["lm_head"]["w"], np.float32)
+        )
+    return out
 
 
 def init_params_quant(cfg: ModelConfig, key) -> dict:
@@ -75,12 +86,21 @@ def init_params_quant(cfg: ModelConfig, key) -> dict:
     if cfg.use_qk_norm:
         layers["q_norm"] = jnp.ones((L, cfg.head_dim), dt)
         layers["k_norm"] = jnp.ones((L, cfg.head_dim), dt)
-    lm = (jax.random.normal(next(ks), (H, cfg.vocab_size), jnp.float32) * 0.02).astype(dt)
+    if cfg.quant_lmhead:
+        Vp = -(-cfg.vocab_size // 2048) * 2048  # kernel-tile-padded vocab
+        q = jax.random.randint(next(ks), (H // 8, Vp), -(2**31), 2**31 - 1,
+                               jnp.int32)
+        s = jnp.full((H // GROUP_SIZE, Vp), 0.02 / np.sqrt(H), jnp.float32)
+        lm_head = {"q": q, "s": s}
+    else:
+        lm = (jax.random.normal(next(ks), (H, cfg.vocab_size), jnp.float32)
+              * 0.02).astype(dt)
+        lm_head = {"w": lm}
     return {
         "embed": embed,
         "layers": layers,
         "final_norm": jnp.ones((H,), dt),
-        "lm_head": {"w": lm},
+        "lm_head": lm_head,
     }
 
 

@@ -100,6 +100,23 @@ def pack_weights(w: np.ndarray, group_size: int = GROUP_SIZE) -> dict:
     return {"q": jnp.asarray(pack_rows(q4)), "s": jnp.asarray(s)}
 
 
+def pack_weights_padded(
+    w: np.ndarray, n_align: int = 2048, group_size: int = GROUP_SIZE
+) -> dict:
+    """Quantize + pack with N zero-padded to a multiple of ``n_align``.
+
+    Used for the W4 lm_head (V=73448 is not tile-friendly): padding at pack
+    time keeps the kernel's wide-bn decode path and avoids the per-call
+    ``jnp.pad`` copy of the 150MB pack. Pad columns dequantize to exactly 0;
+    callers slice logits back to the true vocab (layers.modules.lm_head)."""
+    w = np.asarray(w, np.float32)
+    K, N = w.shape
+    Np = _round_up(N, n_align)
+    if Np != N:
+        w = np.concatenate([w, np.zeros((K, Np - N), np.float32)], axis=1)
+    return pack_weights(w, group_size)
+
+
 def repack_gptq(
     qweight: np.ndarray,  # GPTQ int32 (K/8, N), 8 consecutive K rows per word
     scales: np.ndarray,  # (K/g, N) fp16
@@ -238,6 +255,64 @@ def _qmm_kernel_small(
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _qmm_kernel_small_norm(
+    x_ref, q_ref, s_ref, nw_ref, o_ref, acc_ref, xn_ref, *, nk, out_dtype,
+    eps, interpret,
+):
+    """Fused RMSNorm + decode-shape dequant-matmul.
+
+    The separate norm op before each decode GEMM is dispatch-latency-bound
+    (~8us each, ~0.5ms/token over 64 norms on the 8B); fusing it here
+    removes those ops. ``x`` arrives as ONE full-K block (decode M <= 64,
+    so (BM, K) fits VMEM); at the first grid step the kernel computes
+    ``rms_norm(x) * nw`` in f32 (same op order as layers.modules.rms_norm)
+    and stores it chunked as (nk, BM, 1024) scratch; every (n, k) step then
+    reads chunk ``k``. The reference fuses norm+GEMM the other way round
+    (per-CTA epilogue, src/model/norm.cuh + linear.cuh); on TPU the win is
+    purely fewer kernel dispatches."""
+    n = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when((n == 0) & (k == 0))
+    def _norm():
+        xf = x_ref[:].astype(jnp.float32)  # (BM, K)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        xn = xf * jax.lax.rsqrt(var + eps) * nw_ref[:].astype(jnp.float32)
+        xn = xn.astype(xn_ref.dtype)
+        for kk in range(nk):  # static lane slices; nk <= 16
+            xn_ref[kk] = xn[:, kk * KCHUNK : (kk + 1) * KCHUNK]
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])  # (128, BN) int32
+    x = xn_ref[k]  # (BM, 1024) normed
+    s = s_ref[...].reshape(s_ref.shape[-2], s_ref.shape[-1])  # (8, BN) f32
+    acc = acc_ref[:]
+    xsum = jnp.sum(
+        x.astype(jnp.float32).reshape(x.shape[0], 8, 128), axis=2
+    )
+    for j in range(4):
+        v = _extract_pair_planes(w, j, interpret)  # (256, BN) bf16
+        if x.dtype == jnp.float32:
+            v = v.astype(jnp.float32)
+        for h in range(2):
+            g = 2 * j + h
+            xg = x[:, g * 128 : (g + 1) * 128]
+            d = jax.lax.dot_general(
+                xg, v[h * 128 : (h + 1) * 128], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            sg = s[g : g + 1].astype(jnp.float32)  # (1, BN)
+            acc = acc + sg * (16.0 * d - 24.0 * xsum[:, g : g + 1])
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _done():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
 def _qmm_kernel(
     x_ref, q_ref, s_ref, o_ref, acc_ref, w_ref, *, bm, bn, nk, nm, out_dtype,
     interpret,
@@ -284,13 +359,17 @@ def _qmm_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_dtype", "bn", "bm", "interpret", "layer")
+    jax.jit,
+    static_argnames=("out_dtype", "bn", "bm", "interpret", "layer", "norm_eps"),
 )
 def quant_matmul_pallas(
     x: jax.Array,  # (M, K) bf16/f32
     q: jax.Array,  # (K/8, N) int32 (kernel pack layout) — (L, K/8, N) w/ layer
     s: jax.Array,  # (K/128, N) f32 — (L, K/128, N) with ``layer``
+    norm_w: Optional[jax.Array] = None,  # (K,): fuse rms_norm(x)*norm_w into
+    # the decode kernel (separate norm ops are dispatch-latency-bound)
     *,
+    norm_eps: float = 1e-6,
     out_dtype=None,
     bm: int = 256,
     bn: Optional[int] = None,  # decode default: widest of 2048/1024/512
@@ -312,6 +391,13 @@ def quant_matmul_pallas(
 
     bm = min(bm, _round_up(M, 8))
     Mp = _round_up(M, bm)
+    if norm_w is not None and Mp > 64:
+        # prefill shapes: the norm amortizes over the chunk — apply in XLA
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        x = (xf * jax.lax.rsqrt(var + norm_eps)
+             * norm_w.astype(jnp.float32)).astype(x.dtype)
+        norm_w = None
     if bn is None:
         if Mp <= 64:
             # widest divisor first; 1536 covers the fused qkv N=4608
@@ -326,8 +412,8 @@ def quant_matmul_pallas(
                 bn //= 2
         if Mp > 64 or bn < 128:
             return quant_matmul_pallas(
-                x, q[layer], s[layer], out_dtype=out_dtype, bm=bm,
-                interpret=interpret,
+                x, q[layer], s[layer], norm_w, norm_eps=norm_eps,
+                out_dtype=out_dtype, bm=bm, interpret=interpret,
             )
 
     Np = _round_up(N, bn)
@@ -348,6 +434,31 @@ def quant_matmul_pallas(
             q_spec = pl.BlockSpec((1, 128, bn), lambda m, n, k: (layer, k, n))
             s_spec = pl.BlockSpec((1, 8, bn), lambda m, n, k: (layer, k, n))
         # decode shapes: interleaved dequant+dot, k innermost
+        if norm_w is not None:
+            out = pl.pallas_call(
+                functools.partial(
+                    _qmm_kernel_small_norm, nk=nk, out_dtype=out_dtype,
+                    eps=norm_eps, interpret=interpret,
+                ),
+                grid=(nm, nn, nk),
+                in_specs=[
+                    pl.BlockSpec((bm, K), lambda m, n, k: (m, 0)),
+                    q_spec,
+                    s_spec,
+                    pl.BlockSpec((1, K), lambda m, n, k: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
+                out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+                scratch_shapes=[
+                    pltpu.VMEM((bm, bn), jnp.float32),
+                    pltpu.VMEM((nk, bm, KCHUNK), x.dtype),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
+                ),
+                interpret=interpret,
+            )(x, q, s, norm_w.reshape(1, K))
+            return out[:M, :N]
         out = pl.pallas_call(
             functools.partial(
                 _qmm_kernel_small, nk=nk, out_dtype=out_dtype,
@@ -400,21 +511,29 @@ def _round_up(x: int, m: int) -> int:
 
 
 def quant_matmul(
-    x: jax.Array, q: jax.Array, s: jax.Array, layer: Optional[int] = None
+    x: jax.Array, q: jax.Array, s: jax.Array, layer: Optional[int] = None,
+    norm: Optional[Tuple[jax.Array, float]] = None,
 ) -> jax.Array:
     """Dispatch: Pallas fused kernel when supported, XLA dequant otherwise.
 
     ``x`` may be (..., K); output (..., N) in x.dtype. With ``layer``, q/s
     are stacked (L, ...) and the kernel reads them in place (no per-layer
-    slice copy — see quant_matmul_pallas).
+    slice copy — see quant_matmul_pallas). With ``norm=(weight, eps)``,
+    ``rms_norm(x) * weight`` is fused into the kernel (decode shapes).
     """
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
     K8, N = q.shape[-2:]
     if K == K8 * 8 and K % KCHUNK == 0 and jax.default_backend() == "tpu":
-        out = quant_matmul_pallas(x2, q, s, layer=layer)
+        nw, eps = norm if norm is not None else (None, 1e-6)
+        out = quant_matmul_pallas(x2, q, s, nw, norm_eps=eps, layer=layer)
     else:
+        if norm is not None:
+            xf = x2.astype(jnp.float32)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            x2 = (xf * jax.lax.rsqrt(var + norm[1])
+                  * norm[0].astype(jnp.float32)).astype(x.dtype)
         if layer is not None:
             q, s = q[layer], s[layer]
         w = dequantize(q, s).astype(x.dtype)

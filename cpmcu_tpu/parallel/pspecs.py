@@ -55,11 +55,14 @@ def param_pspecs(cfg: ModelConfig) -> dict:
     if cfg.use_qk_norm:
         layers["q_norm"] = vec
         layers["k_norm"] = vec
+    lm = {"w": P(None, tp)} if not cfg.quant_lmhead else {
+        "q": P(None, tp), "s": P(None, tp)  # pack sharded on the vocab axis
+    }
     return {
         "embed": P(None, None),
         "layers": layers,
         "final_norm": P(None),
-        "lm_head": {"w": P(None, tp)},
+        "lm_head": lm,
     }
 
 

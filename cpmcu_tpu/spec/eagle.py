@@ -179,9 +179,8 @@ def draft_logits(ecfg: EagleConfig, ep: dict, base_params: dict, base_cfg: Model
     else:
         from ..layers.modules import lm_head
 
-        logits = lm_head(base_params["lm_head"], h, base_cfg.scale_lmhead).astype(
-            jnp.float32
-        )
+        logits = lm_head(base_params["lm_head"], h, base_cfg.scale_lmhead,
+                         n_out=base_cfg.vocab_size).astype(jnp.float32)
     return jax.nn.log_softmax(logits, axis=-1)
 
 

@@ -120,3 +120,97 @@ def test_quantized_model_end_to_end():
     lq = np.asarray(e_q.decode(ids, list(range(6))))
     ld = np.asarray(e_d.decode(ids, list(range(6))))
     np.testing.assert_allclose(lq, ld, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("M,K,N", [(1, 2048, 256), (8, 1024, 128)])
+def test_quant_matmul_norm_fused_interpret(M, K, N):
+    """Fused RMSNorm+matmul decode kernel == norm op then plain kernel."""
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+    nw = jnp.asarray(rng.uniform(0.5, 1.5, size=(K,)).astype(np.float32))
+    pack = pack_weights(w)
+    out = quant_matmul_pallas(
+        x, pack["q"], pack["s"], nw, norm_eps=1e-5, bm=8, bn=128,
+        interpret=True,
+    )
+    from cpmcu_tpu.layers.modules import rms_norm
+
+    xn = rms_norm(x, nw, 1e-5)
+    ref = quant_matmul_pallas(xn, pack["q"], pack["s"], bm=8, bn=128,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-2)
+
+
+def test_quant_matmul_norm_fused_prefill_path():
+    """Prefill shapes (M > 64) apply the norm in XLA before the kernel."""
+    rng = np.random.default_rng(6)
+    M, K, N = 128, 1024, 128
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+    nw = jnp.asarray(rng.uniform(0.5, 1.5, size=(K,)).astype(np.float32))
+    pack = pack_weights(w)
+    out = quant_matmul(x, pack["q"], pack["s"], norm=(nw, 1e-5))
+    from cpmcu_tpu.layers.modules import rms_norm
+
+    ref = quant_matmul(rms_norm(x, nw, 1e-5), pack["q"], pack["s"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pack_weights_padded_zero_pad_columns():
+    from cpmcu_tpu.ops.quant import pack_weights_padded
+
+    rng = np.random.default_rng(7)
+    K, N = 1024, 200
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    pack = pack_weights_padded(w, n_align=512)
+    assert pack["q"].shape == (K // 8, 512)
+    deq = np.asarray(dequantize(pack["q"], pack["s"]))
+    assert np.all(deq[:, N:] == 0)
+    x = jnp.asarray(rng.standard_normal((2, K)).astype(np.float32))
+    out = np.asarray(quant_matmul(x, pack["q"], pack["s"]))
+    assert np.all(out[:, N:] == 0)
+
+
+def test_quant_lmhead_end_to_end():
+    """W4 lm_head (padded pack): logits match the dequantized-head oracle and
+    the engine decode path slices back to the true vocab."""
+    import dataclasses
+
+    from cpmcu_tpu.core.config import EngineConfig, ModelConfig, RopeConfig
+    from cpmcu_tpu.engine.engine import Engine
+    from cpmcu_tpu.models import llama
+    from cpmcu_tpu.models.quantize import quantize_params
+
+    V = 250
+    cfg = ModelConfig(
+        vocab_size=V, num_layers=2, hidden_size=1024, intermediate_size=1024,
+        num_heads=8, num_kv_heads=2, head_dim=128, rope=RopeConfig(),
+        dtype="float32",
+    )
+    dense = llama.init_params(cfg, jax.random.PRNGKey(0), scale=0.05)
+    qcfg = dataclasses.replace(cfg, quant=True, quant_lmhead=True)
+    qparams = quantize_params(dense, qcfg)
+    assert "q" in qparams["lm_head"]
+
+    eng = EngineConfig(chunk_length=8, max_total_length=64)
+    e_q = Engine(qcfg, eng, qparams, attn_impl="xla")
+    ids = [1, 2, 3, 4, 5, 6]
+    lq = np.asarray(e_q.decode(ids, list(range(6))))
+    assert lq.shape == (6, V)
+
+    # oracle: same body weights, lm_head replaced by its dequantized form
+    oparams = dict(qparams)
+    oparams["lm_head"] = {
+        "w": dequantize(qparams["lm_head"]["q"], qparams["lm_head"]["s"])[:, :V]
+    }
+    e_o = Engine(dataclasses.replace(cfg, quant=True), eng, oparams,
+                 attn_impl="xla")
+    lo = np.asarray(e_o.decode(ids, list(range(6))))
+    np.testing.assert_allclose(lq, lo, rtol=1e-4, atol=1e-4)
+
+    # generation end-to-end (greedy) emits in-vocab tokens
+    toks, _, _ = e_q.generate([1, 2, 3], generation_length=8)
+    assert all(0 <= t < V for t in toks)
