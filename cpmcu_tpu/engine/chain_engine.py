@@ -250,6 +250,9 @@ class ChainSpecEngine(Engine):
         self._num_prev = n
         return toks, n
 
+    def _round_rows(self) -> int:
+        return self.num_iter + 1
+
     def _segment_ready(self) -> bool:
         return self._num_prev > 0
 

@@ -337,6 +337,9 @@ class Eagle3Engine(Engine):
         toks = np.asarray(emitted)[:n].tolist()
         return toks, n
 
+    def _round_rows(self) -> int:
+        return self.ecfg.tree_size
+
     def _segment_ready(self) -> bool:
         return self.estate is not None
 

@@ -294,6 +294,11 @@ class Engine:
             if finished:
                 return
             k = min(seg, generation_length - emitted)
+            if self.host_len + k + 1 > self.cache.max_length:
+                # capacity guard: past the cache tail, dynamic_update_slice
+                # clamps backwards and would overwrite committed rows —
+                # stop generating instead (ADVICE.md round-1)
+                return
             with perf_scope("decode_segment"):
                 self.cache, toks, self.key = decode_segment(
                     self.cfg, self.params, self.rope, self.cache,

@@ -55,7 +55,14 @@ def hier_catchup(
 ):
     """Feed the pending root through the draft model and build a fresh
     EagleState for the inner loop (replaces the reference's
-    draft_model_start/num_prev branches, hier_ea...cuh:436-520)."""
+    draft_model_start/num_prev branches, hier_ea...cuh:436-520).
+
+    The forward is NOT committed: it only produces the root's draft-model
+    hidden state for the drafter. The next spec_step's tree decode is the
+    sole writer of the root's KV row, at this same position ``d0`` — a
+    catch-up commit here would shift the root to d0+1 while the EagleState
+    (pos0=d0) and the subsequent rollback accounting assume d0, silently
+    corrupting the drafter's history (ADVICE.md round-1 finding)."""
     d0 = dcache.length
     tok = jnp.asarray(draft0, jnp.int32)[None]
     _, dcache, normed = llama.forward(
@@ -63,7 +70,6 @@ def hier_catchup(
         logits_mode="none", attn_impl=attn_impl, return_hidden=True,
         unroll=True,
     )
-    dcache = dcache.with_length(d0 + 1)
 
     S = ecfg.tree_size
     H = draft_cfg.hidden_size
@@ -172,6 +178,7 @@ class HierSpecEngine(Engine):
     def _spec_round(self, draft0: int):
         ecfg = self.inner.ecfg
         dcfg = self.inner.cfg
+        d_start = int(self.inner.cache.length)  # rollback base (step 4)
 
         # 1. catch-up: feed the pending root to the draft model, rebuild the
         #    inner EagleState. On the very first round the inner engine's
@@ -218,16 +225,21 @@ class HierSpecEngine(Engine):
         n = int(accept_len)
         self.host_len += n
 
-        # 4. draft-model rollback: accepted drafted tokens are a contiguous
-        #    prefix of its committed chain; the bonus token stays pending
-        accepted_drafted = n - 1
-        dlen = int(self.inner.cache.length) - (len(chain) - accepted_drafted)
+        # 4. draft-model rollback: the draft cache holds
+        #    [prompt | root@d_start | chain[0..] ] — keep the root plus the
+        #    n-1 outer-accepted drafted tokens (= d_start + n rows); the
+        #    bonus token stays pending (its row is written by the next
+        #    round's spec_step tree decode, see hier_catchup)
+        dlen = d_start + n
         self.inner.cache = self.inner.cache.with_length(dlen)
         self.inner.host_len = dlen
 
         self.last_path_logits = np.asarray(path_logits, np.float32)[:n]
         toks = np.asarray(emitted)[:n].tolist()
         return toks, n
+
+    def _round_rows(self) -> int:
+        return self.max_chain + 1
 
     # streaming loop shared with SpecEngine
     _generate_stream = SpecEngine._generate_stream

@@ -357,6 +357,11 @@ class SpecEngine(Engine):
     def _segment_ready(self) -> bool:
         return getattr(self, "estate", None) is not None
 
+    def _round_rows(self) -> int:
+        """KV rows one spec round may write at the cache tail (capacity
+        guard in _generate_stream)."""
+        return self.ecfg.tree_size
+
     def _spec_rounds(self, draft0: int, k: int):
         """K fused spec rounds, ONE host sync (spec_segment). Requires a
         live estate (i.e. not the first round after prefill)."""
@@ -424,6 +429,16 @@ class SpecEngine(Engine):
                 and hasattr(self, "_spec_rounds")
                 and self._segment_ready()
             )
+            # capacity guard: a round writes _round_rows() rows at the cache
+            # tail; past capacity the compact() dynamic_update_slice would
+            # clamp backwards and overwrite committed rows (cache/kv.py) —
+            # stop generating instead (ADVICE.md round-1)
+            rows = self._round_rows()
+            cap = self.cache.max_length
+            if can_segment and self.host_len + seg * rows > cap:
+                can_segment = False
+            if self.host_len + rows > cap:
+                return
             if not can_segment:
                 rounds = [self._spec_round(draft0)]
                 first = False

@@ -111,6 +111,18 @@ class NativeSafetensors:
     def keys(self):
         return list(self._index.keys())
 
+    def validate_dtypes(self):
+        """Raise ValueError if any tensor's dtype is outside _DTYPES/BF16.
+
+        Called BEFORE any tensor is yielded so an unsupported dtype (e.g.
+        F8_E4M3, U16) routes the WHOLE file to the safe_open fallback —
+        a mid-iteration KeyError would otherwise abort loading after some
+        tensors were already consumed (ADVICE.md round-1)."""
+        for name, i in self._index.items():
+            dt = self.lib.st_dtype(self.h, i).decode()
+            if dt != "BF16" and dt not in _DTYPES:
+                raise ValueError(f"unsupported safetensors dtype {dt} ({name})")
+
     def get(self, name: str) -> np.ndarray:
         """Zero-copy view (read-only) into the mapping."""
         i = self._index[name]

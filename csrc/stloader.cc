@@ -218,12 +218,25 @@ void* st_open(const char* path) {
 
   uint64_t hlen;
   memcpy(&hlen, f->base, 8);
-  if (8 + hlen > f->size ||
+  // hlen is untrusted: guard the addition against overflow before use
+  if (hlen > f->size - 8 ||
       !parse_header((const char*)f->base + 8, hlen, &f->tensors)) {
     munmap((void*)f->base, f->size);
     close(fd);
     delete f;
     return nullptr;
+  }
+  // validate every tensor's data_offsets against the mapped data section:
+  // a truncated/corrupt header would otherwise hand out-of-bounds views to
+  // st_data/st_read (SIGBUS on access; ADVICE.md round-1)
+  const uint64_t data_size = f->size - 8 - hlen;
+  for (const auto& t : f->tensors) {
+    if (t.begin > t.end || t.end > data_size) {
+      munmap((void*)f->base, f->size);
+      close(fd);
+      delete f;
+      return nullptr;
+    }
   }
   f->data = f->base + 8 + hlen;
   return f;

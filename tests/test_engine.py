@@ -80,3 +80,65 @@ def test_prefill_overflow_raises(tiny):
     engine = _engine(tiny)
     with pytest.raises(ValueError, match="exceeds maximum supported length"):
         engine.prefill(list(range(100)) * 3)
+
+
+def test_generation_stops_at_cache_capacity():
+    """ADVICE round-1: generation must stop before the cache tail so the
+    clamped dynamic_update_slice in compact()/append is unreachable."""
+    import jax
+
+    from cpmcu_tpu.core.config import EngineConfig, ModelConfig, RopeConfig
+    from cpmcu_tpu.engine.engine import Engine
+    from cpmcu_tpu.models import llama
+
+    cfg = ModelConfig(
+        vocab_size=64, num_layers=1, hidden_size=32, intermediate_size=64,
+        num_heads=2, num_kv_heads=2, head_dim=16, rope=RopeConfig(),
+        dtype="float32",
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    eng = EngineConfig(chunk_length=8, max_total_length=24,
+                       decode_segment_size=4)
+    e = Engine(cfg, eng, params, attn_impl="xla")
+    # KVCache.create rounds capacity up to >=512; shrink it so the guard
+    # is reachable in a fast test
+    from cpmcu_tpu.cache.kv import KVCache
+
+    e.cache = KVCache(e.cache.k[:, :, :24], e.cache.v[:, :, :24],
+                      e.cache.length)
+    toks, _, _ = e.generate([1, 2, 3, 4], generation_length=100)
+    assert e.host_len <= e.cache.max_length
+    assert len(toks) < 100  # truncated by capacity, not by length limit
+
+
+def test_spec_generation_stops_at_cache_capacity():
+    import dataclasses
+
+    import jax
+
+    from cpmcu_tpu.core.config import EngineConfig, ModelConfig, RopeConfig
+    from cpmcu_tpu.engine.spec_engine import SpecEngine
+    from cpmcu_tpu.models import llama
+    from cpmcu_tpu.spec.eagle import EagleConfig, init_eagle_params
+
+    cfg = ModelConfig(
+        vocab_size=64, num_layers=1, hidden_size=32, intermediate_size=64,
+        num_heads=2, num_kv_heads=2, head_dim=16, rope=RopeConfig(),
+        dtype="float32",
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    ecfg = EagleConfig(
+        model=dataclasses.replace(cfg, num_layers=1),
+        num_iter=2, topk_per_iter=3, tree_size=6,
+    )
+    eparams = init_eagle_params(ecfg, jax.random.PRNGKey(1))
+    eng = EngineConfig(chunk_length=8, max_total_length=40,
+                       spec_segment_size=2)
+    e = SpecEngine(cfg, ecfg, eng, params, eparams, attn_impl="xla")
+    from cpmcu_tpu.cache.kv import KVCache
+
+    e.cache = KVCache(e.cache.k[:, :, :40], e.cache.v[:, :, :40],
+                      e.cache.length)
+    toks, _, _ = e.generate([1, 2, 3, 4], generation_length=200)
+    assert e.host_len + ecfg.tree_size <= e.cache.max_length + ecfg.tree_size
+    assert len(toks) < 200

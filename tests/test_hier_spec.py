@@ -60,3 +60,37 @@ def test_hier_reset_reproducible(setup):
     hier.reset()
     b, _, _ = hier.generate([9, 8, 7], generation_length=10)
     assert a == b
+
+
+def test_hier_inner_cache_matches_clean_prefill(setup):
+    """ADVICE round-1: after outer rounds, the inner draft-model cache rows
+    must equal a clean draft-model prefill of prompt + accepted tokens —
+    i.e. the catch-up/rollback bookkeeping never corrupts the drafter's
+    history (the root row is written exactly once, at d_start; rollback
+    keeps every accepted node's row)."""
+    cfg, params, draft_cfg, dparams, ecfg, eparams = setup
+    eng = EngineConfig(chunk_length=8, max_total_length=256)
+    hier = HierSpecEngine(
+        cfg, draft_cfg, ecfg, eng, params, dparams, eparams,
+        attn_impl="xla", min_draft_length=4,
+    )
+    prompt = [1, 2, 3, 4, 5]
+    logits = hier.prefill(prompt)
+    pending = int(np.argmax(np.asarray(logits)[-1]))
+
+    committed = list(prompt)
+    for _ in range(6):
+        toks, n = hier._spec_round(pending)
+        committed += [pending] + toks[: n - 1]
+        pending = toks[-1]
+        assert hier.inner.host_len == len(committed)
+
+    clean = Engine(draft_cfg, eng, dparams, attn_impl="xla")
+    clean.prefill(committed)
+    L = len(committed)
+    got_k = np.asarray(hier.inner.cache.k)[:, :, :L]
+    want_k = np.asarray(clean.cache.k)[:, :, :L]
+    np.testing.assert_allclose(got_k, want_k, rtol=2e-4, atol=2e-4)
+    got_v = np.asarray(hier.inner.cache.v)[:, :, :L]
+    want_v = np.asarray(clean.cache.v)[:, :, :L]
+    np.testing.assert_allclose(got_v, want_v, rtol=2e-4, atol=2e-4)
