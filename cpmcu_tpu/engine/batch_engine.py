@@ -36,7 +36,7 @@ from ..cache.kv import KVCache
 from ..core.config import EngineConfig, ModelConfig
 from ..core.memory import solve_kv_budget
 from ..models import llama
-from ..ops.sampling import sample
+from ..ops.sampling import sample, sample_per_row
 
 
 @jax.tree_util.register_dataclass
@@ -77,6 +77,9 @@ def batch_decode_step(
     tokens: jax.Array,  # (B,) int32 last token per slot
     active: jax.Array,  # (B,) bool
     key: jax.Array,
+    sampling=None,  # optional traced (temps (B,), top_ks (B,), top_ps (B,)):
+    # per-slot sampling params so requests with different temperatures batch
+    # together (ops.sampling.sample_per_row); None = engine-global statics
     *,
     temperature: float,
     top_k: int,
@@ -167,12 +170,15 @@ def batch_decode_step(
         bcache.k, bcache.v, k_stack, v_stack, pos
     )
 
-    normed = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
-    logits = lm_head(params["lm_head"], normed, cfg.scale_lmhead).astype(
-        jnp.float32
-    )
-    nxt = sample(logits, keys[1], temperature=temperature,
-                 top_k=top_k, top_p=top_p)
+    # final norm + pre-scale fuse into the quant lm_head kernel (M=B rows)
+    logits = lm_head(params["lm_head"], h, cfg.scale_lmhead,
+                     norm=(params["final_norm"], cfg.rms_norm_eps),
+                     n_out=cfg.vocab_size).astype(jnp.float32)
+    if sampling is None:
+        nxt = sample(logits, keys[1], temperature=temperature,
+                     top_k=top_k, top_p=top_p)
+    else:
+        nxt = sample_per_row(logits, keys[1], *sampling)
     new_lengths = jnp.where(active, bcache.lengths + 1, bcache.lengths)
     return BatchKVCache(new_k, new_v, new_lengths), nxt, keys[0]
 
@@ -190,6 +196,7 @@ def batch_decode_segment(
     tokens: jax.Array,  # (B,)
     active: jax.Array,  # (B,)
     key: jax.Array,
+    sampling=None,  # see batch_decode_step
     *,
     k: int,
     temperature: float,
@@ -205,7 +212,7 @@ def batch_decode_segment(
     def body(carry, _):
         bcache, toks, key = carry
         bcache, nxt, key = batch_decode_step(
-            cfg, params, rope, bcache, toks, active, key,
+            cfg, params, rope, bcache, toks, active, key, sampling,
             temperature=temperature, top_k=top_k, top_p=top_p,
             attn_impl=attn_impl,
         )
@@ -269,6 +276,11 @@ class Request:
     prompt_ids: List[int]
     max_new_tokens: int = 256
     terminators: Tuple[int, ...] = ()
+    # per-request sampling (None = engine defaults; serve layer maps the
+    # OpenAI temperature/top_p fields here)
+    temperature: Optional[float] = None
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
     # filled by the scheduler
     slot: int = -1
     emitted: int = 0
@@ -332,7 +344,8 @@ class ContinuousBatchingEngine:
     # -- API -----------------------------------------------------------------
 
     def submit(self, prompt_ids: Sequence[int], max_new_tokens: int = 256,
-               terminators: Sequence[int] = ()) -> int:
+               terminators: Sequence[int] = (), temperature: Optional[float] = None,
+               top_k: Optional[int] = None, top_p: Optional[float] = None) -> int:
         rid = self._next_id
         self._next_id += 1
         if len(prompt_ids) + max_new_tokens > self.slot_budget:
@@ -345,6 +358,9 @@ class ContinuousBatchingEngine:
             prompt_ids=list(prompt_ids),
             max_new_tokens=max_new_tokens,
             terminators=tuple(terminators),
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
             submit_time=time.time(),
         )
         self.waiting.append(req)
@@ -354,6 +370,30 @@ class ContinuousBatchingEngine:
     @property
     def has_work(self) -> bool:
         return bool(self.waiting or self.active)
+
+    def _req_sampling(self, req: Request):
+        return (
+            self.eng.temperature if req.temperature is None else req.temperature,
+            self.eng.top_k if req.top_k is None else req.top_k,
+            self.eng.top_p if req.top_p is None else req.top_p,
+        )
+
+    def _sampling_arrays(self):
+        """Per-slot (temps, top_ks, top_ps) device vectors, or None when
+        every active request uses the engine defaults — the None fast path
+        keeps all-greedy batches free of the (B, V) sampling sort."""
+        if not any(
+            r.temperature is not None or r.top_k is not None
+            or r.top_p is not None
+            for r in self.active.values()
+        ):
+            return None
+        temps = np.full((self.max_batch,), self.eng.temperature, np.float32)
+        tks = np.full((self.max_batch,), self.eng.top_k, np.int32)
+        tps = np.full((self.max_batch,), self.eng.top_p, np.float32)
+        for slot, r in self.active.items():
+            temps[slot], tks[slot], tps[slot] = self._req_sampling(r)
+        return (jnp.asarray(temps), jnp.asarray(tks), jnp.asarray(tps))
 
     def step(self) -> List[StepEvent]:
         """Admit + decode one token for every active slot."""
@@ -368,6 +408,7 @@ class ContinuousBatchingEngine:
         self.bcache, nxt, self.key = batch_decode_step(
             self.cfg, self.params, self.rope, self.bcache,
             jnp.asarray(self._tokens), jnp.asarray(active_mask), self.key,
+            self._sampling_arrays(),
             temperature=self.eng.temperature, top_k=self.eng.top_k,
             top_p=self.eng.top_p, attn_impl=self.attn_impl,
         )
@@ -410,6 +451,7 @@ class ContinuousBatchingEngine:
         self.bcache, toks, self.key = batch_decode_segment(
             self.cfg, self.params, self.rope, self.bcache,
             jnp.asarray(self._tokens), jnp.asarray(active_mask), self.key,
+            self._sampling_arrays(),
             k=k, temperature=self.eng.temperature, top_k=self.eng.top_k,
             top_p=self.eng.top_p, attn_impl=self.attn_impl,
         )
@@ -497,10 +539,14 @@ class ContinuousBatchingEngine:
                 i += n
             self._host_lengths[slot] = len(ids)
             self.key, sub = jax.random.split(self.key)
-            tok = int(sample(
-                logits, sub, temperature=self.eng.temperature,
-                top_k=self.eng.top_k, top_p=self.eng.top_p,
-            ))
+            t, tk, tp = self._req_sampling(req)
+            # traced per-row params: arbitrary HTTP temperatures must not
+            # recompile the (static-arg) sample()
+            tok = int(sample_per_row(
+                logits[None].astype(jnp.float32), sub,
+                jnp.asarray([t], jnp.float32), jnp.asarray([tk], jnp.int32),
+                jnp.asarray([tp], jnp.float32),
+            )[0])
             req.first_token_time = time.time()
             self._tokens[slot] = tok
             req.emitted = 1

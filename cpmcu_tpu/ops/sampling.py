@@ -40,3 +40,37 @@ def sample(
         )
         logits = jnp.where(logits < threshold, -jnp.inf, logits)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+@jax.jit
+def sample_per_row(
+    logits: jax.Array,  # (B, V) fp32
+    key: jax.Array,
+    temps: jax.Array,  # (B,) f32; 0 => greedy for that row
+    top_ks: jax.Array,  # (B,) int32; 0 => no top-k filter
+    top_ps: jax.Array,  # (B,) f32; 1.0 => no top-p filter
+) -> jax.Array:
+    """Per-row sampling parameters as TRACED vectors: requests with
+    different temperatures batch into one program (no recompile per
+    distinct value — ``sample`` above specializes on static scalars).
+    Semantics per row match ``sample`` (top-k filter, then top-p over the
+    survivors, always keeping top-1)."""
+    B, V = logits.shape
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    t = jnp.maximum(temps, 1e-6)[:, None]
+    l = logits / t
+    sorted_l = jnp.sort(l, axis=-1)[:, ::-1]
+    ranks = jnp.arange(V, dtype=jnp.int32)[None, :]
+    k_eff = jnp.where(top_ks > 0, jnp.clip(top_ks, 1, V), V)[:, None]
+    sorted_l = jnp.where(ranks >= k_eff, -jnp.inf, sorted_l)  # top-k first
+    probs = jax.nn.softmax(sorted_l, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_mask = cum - probs > top_ps[:, None]
+    cutoff = jnp.where(cutoff_mask, -jnp.inf, sorted_l)
+    threshold = jnp.min(
+        jnp.where(jnp.isneginf(cutoff), jnp.inf, cutoff), axis=-1, keepdims=True
+    )
+    l = jnp.where(l < threshold, -jnp.inf, l)
+    sampled = jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
+    return jnp.where(temps == 0.0, greedy, sampled)

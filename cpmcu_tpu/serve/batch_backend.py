@@ -27,9 +27,9 @@ from .server import ChatBackend, _sse
 class BatchChatBackend(ChatBackend):
     """ChatBackend over a ContinuousBatchingEngine.
 
-    Temperature is engine-global per scheduler (requests in one batch share
-    sampling params — per-request temperature would need per-slot sampling,
-    a TODO); the OpenAI fields are accepted and logged.
+    Sampling is per-request: the OpenAI ``temperature``/``top_p`` fields map
+    to per-slot sampling vectors (ops.sampling.sample_per_row), so requests
+    with different temperatures batch together correctly.
     """
 
     def __init__(self, engine, tokenizer, model_name: str = "cpmcu-tpu",
@@ -70,6 +70,8 @@ class BatchChatBackend(ChatBackend):
             rid = self.engine.submit(
                 ids, max_new_tokens=req.max_tokens,
                 terminators=self._terminators(),
+                temperature=req.temperature,
+                top_p=req.top_p,
             )
             self._queues[rid] = q
         self._ensure_pump()
