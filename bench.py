@@ -98,6 +98,42 @@ def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2"):
         )
         dparams = llama.init_params(draft_cfg, jax.random.PRNGKey(1))
         engine = ChainSpecEngine(cfg, draft_cfg, eng, params, dparams)
+    elif spec_type == "eagle3":
+        from cpmcu_tpu.engine.eagle3_engine import Eagle3Engine
+        from cpmcu_tpu.spec.eagle3 import Eagle3Config, init_eagle3_params
+
+        draft_cfg = dataclasses.replace(
+            cfg, num_layers=1, quant=False, quant_lmhead=False,
+            vocab_size=32768,
+        )
+        L = cfg.num_layers
+        ecfg = Eagle3Config(
+            model=draft_cfg, num_iter=2, topk_per_iter=10, tree_size=12,
+            tap_layers=(1, L // 2, L - 2),
+        )
+        eparams = init_eagle3_params(ecfg, jax.random.PRNGKey(1))
+        engine = Eagle3Engine(cfg, ecfg, eng, params, eparams)
+    elif spec_type == "hier":
+        from cpmcu_tpu.engine.hier_engine import HierSpecEngine
+        from cpmcu_tpu.spec.eagle import EagleConfig, init_eagle_params
+
+        # hier: EAGLE drafts for a small dense draft model which chains for
+        # the quantized base (the reference's 0.5B-draft + 8B-base pairing)
+        draft_cfg = dataclasses.replace(
+            cfg, num_layers=max(2, cfg.num_layers // 8),
+            hidden_size=1024, intermediate_size=4096, num_heads=16,
+            head_dim=64, quant=False, quant_lmhead=False,
+        )
+        dparams = llama.init_params(draft_cfg, jax.random.PRNGKey(1))
+        ecfg = EagleConfig(
+            model=dataclasses.replace(draft_cfg, num_layers=1),
+            num_iter=2, topk_per_iter=10, tree_size=12,
+        )
+        eparams = init_eagle_params(ecfg, jax.random.PRNGKey(2))
+        engine = HierSpecEngine(
+            cfg, draft_cfg, ecfg, eng, params, dparams, eparams,
+            min_draft_length=8,
+        )
     else:
         import jax.numpy as jnp
 
@@ -206,7 +242,8 @@ def main():
                     "W4 head is the default — logits delta bounded by "
                     "tools/logits_parity.py)")
     ap.add_argument("--spec", action="store_true", help="speculative decoding")
-    ap.add_argument("--spec-type", default="eagle2", choices=["eagle2", "chain"])
+    ap.add_argument("--spec-type", default="eagle2",
+                    choices=["eagle2", "chain", "eagle3", "hier"])
     ap.add_argument("--sparse", action="store_true", help="InfLLM-v2 long context")
     ap.add_argument("--batch", type=int, default=0, help="continuous batching slots")
     ap.add_argument("--steps", type=int, default=64)

@@ -34,7 +34,7 @@ def main():
     if os.environ.get("CPMCU_BENCH_CONFIG") == "0.5b":
         cfg = MINICPM4_0_5B  # bf16 dense
     else:
-        cfg = dataclasses.replace(MINICPM4_8B, quant=True)
+        cfg = dataclasses.replace(MINICPM4_8B, quant=True, quant_lmhead=True)
     eng = EngineConfig(chunk_length=2048, max_total_length=4096)
     from bench import make_params
 
@@ -75,8 +75,10 @@ def main():
     try:
         with jax.profiler.trace(trace_dir):
             tok, pos = run(2, tok, pos)
-        files = glob.glob(trace_dir + "/**/*", recursive=True)
-        print(json.dumps({"trace_files": files[:20]}), flush=True)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from exp_spec_profile import top_ops
+
+        top_ops(trace_dir, n=24)
     except Exception as e:
         print(json.dumps({"trace_error": f"{type(e).__name__}: {e}"}), flush=True)
 

@@ -184,11 +184,18 @@ class ChainSpecEngine(Engine):
         self.draft_cfg = draft_cfg
         if dparams is not None and mesh is None:
             dparams = llama.fuse_projections(dparams)
-        self.dparams = dparams
         self.num_iter = max(eng.spec_num_iter, 1)
         budget = self.max_total_length + self.num_iter + 8
         self.drope = llama.make_rope(draft_cfg, budget)
         self.dcache = KVCache.create(draft_cfg, budget)
+        if mesh is not None:
+            # the draft model is a normal llama: shard it like the base
+            from ..parallel.pspecs import shard_cache, shard_params
+
+            if dparams is not None:
+                dparams = shard_params(dparams, draft_cfg, mesh)
+            self.dcache = shard_cache(self.dcache, mesh)
+        self.dparams = dparams
         self.accept_lengths: List[int] = []
         self.last_path_logits = None
         self._prev_tokens = np.zeros((self.num_iter + 1,), np.int32)

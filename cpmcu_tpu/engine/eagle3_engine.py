@@ -248,8 +248,19 @@ class Eagle3Engine(Engine):
     ):
         super().__init__(cfg, eng, params, attn_impl, mesh=mesh)
         self.ecfg = ecfg
-        self.eparams = eparams
         self.ekv = KVCache.create(ecfg.model, self.max_total_length + 128, 1)
+        if mesh is not None:
+            # the one-layer drafter replicates across the mesh (small; no
+            # collective in the tree expansion), like SpecEngine
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            if eparams is not None:
+                eparams = jax.tree.map(lambda x: jax.device_put(x, rep),
+                                       eparams)
+            self.ekv = jax.tree.map(lambda x: jax.device_put(x, rep),
+                                    self.ekv)
+        self.eparams = eparams
         C = eng.chunk_length
         self._reset_pending(C, cfg.hidden_size)
         self.estate = None

@@ -155,10 +155,12 @@ class HierSpecEngine(Engine):
         assert not draft_cfg.apply_sparse
         self.min_draft_length = min_draft_length
         self.max_chain = min_draft_length + ecfg.tree_size
-        # the inner engine owns the draft model + EAGLE drafter state
+        # the inner engine owns the draft model + EAGLE drafter state; under
+        # a mesh the draft model shards like any llama (SpecEngine mesh=)
         inner_eng = eng
         self.inner = SpecEngine(
-            draft_cfg, ecfg, inner_eng, dparams, eparams, attn_impl=attn_impl
+            draft_cfg, ecfg, inner_eng, dparams, eparams, attn_impl=attn_impl,
+            mesh=mesh,
         )
         self.accept_lengths: List[int] = []
         self.inner_accept_lengths: List[int] = []

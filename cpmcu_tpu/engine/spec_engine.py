@@ -249,17 +249,31 @@ class SpecEngine(Engine):
         params=None,
         eparams=None,
         attn_impl: str = "auto",
+        mesh=None,  # shard the BASE model over (dp, tp); the drafter is
+        # small (one layer), so its params and KV replicate across the mesh
+        # — no cross-chip collective in the tree expansion (SURVEY §5.8)
     ):
-        super().__init__(cfg, eng, params, attn_impl)
+        super().__init__(cfg, eng, params, attn_impl, mesh=mesh)
         self.ecfg = ecfg
         if eparams is not None and "layers" in eparams:
             eparams = dict(eparams)
             eparams.update(llama.fuse_projections({"layers": eparams["layers"]}))
-        self.eparams = eparams
         # draft KV: base budget + expansion scratch slack
         self.ekv = KVCache.create(
             ecfg.model, self.max_total_length + 128, ecfg.model.num_layers
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            if eparams is not None:
+                eparams = jax.tree.map(
+                    lambda x: jax.device_put(x, rep), eparams
+                )
+            self.ekv = jax.tree.map(
+                lambda x: jax.device_put(x, rep), self.ekv
+            )
+        self.eparams = eparams
         C = eng.chunk_length
         H = cfg.hidden_size
         self._reset_pending(C, H)

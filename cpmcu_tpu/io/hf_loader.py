@@ -328,6 +328,9 @@ def load_eagle_params(
         if name in ("input_norm1.weight", "input_norm2.weight"):
             ep[name.split(".")[0]] = arr
             continue
+        if name == "rms_norm_rotation.weight":
+            ep["rotation_w"] = arr.T  # hier rotation variant (EagleConfig)
+            continue
         mm = re.match(r"layers\.(\d+)\.(.+)", name)
         if mm and mm.group(2) in _SUB_MAP:
             sub, leaf = _SUB_MAP[mm.group(2)]
@@ -356,6 +359,8 @@ def load_eagle_params(
     if "input_norm1" in ep:
         out["input_norm1"] = jnp.asarray(np.asarray(ep["input_norm1"]), dt)
         out["input_norm2"] = jnp.asarray(np.asarray(ep["input_norm2"]), dt)
+    if "rotation_w" in ep:
+        out["rotation"] = {"w": jnp.asarray(np.asarray(ep["rotation_w"]), dt)}
 
     if token_id_remap is not None and ecfg.frspec_vocab_size:
         remap = jnp.asarray(

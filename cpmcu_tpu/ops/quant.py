@@ -44,6 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 GROUP_SIZE = 128
 KCHUNK = 1024  # unpacked K rows per packed 128-row block
 
+# Decode-kernel tuning knobs (ablation scripts mutate + jax.clear_caches()):
+#   ku        — unpacked KCHUNKs per grid step (fatter, fewer steps)
+#   bn_ladder — widest-first N tile candidates for decode shapes
+TUNE = {"ku": 1, "bn_ladder": (2048, 1536, 1024, 512)}
+
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
@@ -206,14 +211,14 @@ def _extract_pair_planes(w, j: int, interpret: bool):
     return pltpu.bitcast(u, jnp.bfloat16)
 
 
-def _qmm_kernel_small(
-    x_ref, q_ref, s_ref, o_ref, acc_ref, *, nk, out_dtype, interpret
-):
-    """Decode-shape kernel (grid (nm, nn, nk), k innermost): per plane
-    pair, dequant feeds two small MXU dots directly — Mosaic overlaps the
-    next pair's VPU extraction with the current dots. Batch-1 decode is
-    VPU-dequant-bound, so minimizing per-weight VPU ops wins; the bf16-pair
-    construction costs 1.5 ops/weight (v1 nibble planes: 3).
+def _dot_packed_chunk(x, w, s, acc, interpret):
+    """One 1024-row chunk of the decode dot: x (BM, 1024) bf16/f32,
+    w (128, BN) packed int32, s (8, BN) f32 -> acc += x @ dequant(w, s).
+
+    Per plane pair, dequant feeds two small MXU dots directly — Mosaic
+    overlaps the next pair's VPU extraction with the current dots. Batch-1
+    decode is VPU-dequant-bound, so minimizing per-weight VPU ops wins; the
+    bf16-pair construction costs 1.5 ops/weight (v1 nibble planes: 3).
 
     Because each 128-row half of a plane pair IS one scale group (module
     docstring), scale and zero-point move past the dot:
@@ -221,17 +226,6 @@ def _qmm_kernel_small(
     The correction runs on the (BM, BN) dot result — 16-128x smaller than
     the weight tile at decode widths; ``sum(x)`` per group is one tiny
     (BM, 8) row-sum per k-chunk."""
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])  # (128, BN) int32
-    x = x_ref[:]  # (BM, 1024)
-    s = s_ref[...].reshape(s_ref.shape[-2], s_ref.shape[-1])  # (8, BN) f32
-    acc = acc_ref[:]
-    # per-group activation row sums: (BM, 8); xsum[:, g] = sum(x_g)
     xsum = jnp.sum(
         x.astype(jnp.float32).reshape(x.shape[0], 8, 128), axis=2
     )
@@ -248,6 +242,32 @@ def _qmm_kernel_small(
             )
             sg = s[g : g + 1].astype(jnp.float32)  # (1, BN)
             acc = acc + sg * (16.0 * d - 24.0 * xsum[:, g : g + 1])
+    return acc
+
+
+def _qmm_kernel_small(
+    x_ref, q_ref, s_ref, o_ref, acc_ref, *, nk, ku, out_dtype, interpret
+):
+    """Decode-shape kernel (grid (nm, nn, nk), k innermost; see
+    _dot_packed_chunk for the dequant-dot scheme). ``ku`` unpacked-KCHUNKs
+    are processed per grid step (fewer, fatter steps)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])  # (ku*128, BN)
+    x = x_ref[:]  # (BM, ku*1024)
+    s = s_ref[...].reshape(s_ref.shape[-2], s_ref.shape[-1])  # (ku*8, BN)
+    acc = acc_ref[:]
+    for u in range(ku):
+        acc = _dot_packed_chunk(
+            x[:, u * KCHUNK : (u + 1) * KCHUNK],
+            w[u * 128 : (u + 1) * 128],
+            s[u * 8 : (u + 1) * 8],
+            acc, interpret,
+        )
     acc_ref[:] = acc
 
     @pl.when(k == nk - 1)
@@ -256,8 +276,8 @@ def _qmm_kernel_small(
 
 
 def _qmm_kernel_small_norm(
-    x_ref, q_ref, s_ref, nw_ref, o_ref, acc_ref, xn_ref, *, nk, out_dtype,
-    eps, interpret,
+    x_ref, q_ref, s_ref, nw_ref, o_ref, acc_ref, xn_ref, *, nk, ku,
+    out_dtype, eps, interpret,
 ):
     """Fused RMSNorm + decode-shape dequant-matmul.
 
@@ -266,10 +286,10 @@ def _qmm_kernel_small_norm(
     removes those ops. ``x`` arrives as ONE full-K block (decode M <= 64,
     so (BM, K) fits VMEM); at the first grid step the kernel computes
     ``rms_norm(x) * nw`` in f32 (same op order as layers.modules.rms_norm)
-    and stores it chunked as (nk, BM, 1024) scratch; every (n, k) step then
-    reads chunk ``k``. The reference fuses norm+GEMM the other way round
-    (per-CTA epilogue, src/model/norm.cuh + linear.cuh); on TPU the win is
-    purely fewer kernel dispatches."""
+    and stores it chunked as (nk*ku, BM, 1024) scratch; every (n, k) step
+    then reads its ``ku`` chunks. The reference fuses norm+GEMM the other
+    way round (per-CTA epilogue, src/model/norm.cuh + linear.cuh); on TPU
+    the win is purely fewer kernel dispatches."""
     n = pl.program_id(1)
     k = pl.program_id(2)
 
@@ -279,33 +299,23 @@ def _qmm_kernel_small_norm(
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
         xn = xf * jax.lax.rsqrt(var + eps) * nw_ref[:].astype(jnp.float32)
         xn = xn.astype(xn_ref.dtype)
-        for kk in range(nk):  # static lane slices; nk <= 16
+        for kk in range(nk * ku):  # static lane slices; nk*ku <= 16
             xn_ref[kk] = xn[:, kk * KCHUNK : (kk + 1) * KCHUNK]
 
     @pl.when(k == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])  # (128, BN) int32
-    x = xn_ref[k]  # (BM, 1024) normed
-    s = s_ref[...].reshape(s_ref.shape[-2], s_ref.shape[-1])  # (8, BN) f32
+    w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])  # (ku*128, BN)
+    s = s_ref[...].reshape(s_ref.shape[-2], s_ref.shape[-1])  # (ku*8, BN)
     acc = acc_ref[:]
-    xsum = jnp.sum(
-        x.astype(jnp.float32).reshape(x.shape[0], 8, 128), axis=2
-    )
-    for j in range(4):
-        v = _extract_pair_planes(w, j, interpret)  # (256, BN) bf16
-        if x.dtype == jnp.float32:
-            v = v.astype(jnp.float32)
-        for h in range(2):
-            g = 2 * j + h
-            xg = x[:, g * 128 : (g + 1) * 128]
-            d = jax.lax.dot_general(
-                xg, v[h * 128 : (h + 1) * 128], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            sg = s[g : g + 1].astype(jnp.float32)  # (1, BN)
-            acc = acc + sg * (16.0 * d - 24.0 * xsum[:, g : g + 1])
+    for u in range(ku):
+        acc = _dot_packed_chunk(
+            xn_ref[k * ku + u],
+            w[u * 128 : (u + 1) * 128],
+            s[u * 8 : (u + 1) * 8],
+            acc, interpret,
+        )
     acc_ref[:] = acc
 
     @pl.when(k == nk - 1)
@@ -391,6 +401,9 @@ def quant_matmul_pallas(
 
     bm = min(bm, _round_up(M, 8))
     Mp = _round_up(M, bm)
+    ku = TUNE["ku"]
+    while (K // KCHUNK) % ku:
+        ku -= 1
     if norm_w is not None and Mp > 64:
         # prefill shapes: the norm amortizes over the chunk — apply in XLA
         xf = x.astype(jnp.float32)
@@ -401,7 +414,7 @@ def quant_matmul_pallas(
     if bn is None:
         if Mp <= 64:
             # widest divisor first; 1536 covers the fused qkv N=4608
-            bn = next((b for b in (2048, 1536, 1024, 512) if N % b == 0), 512)
+            bn = next((b for b in TUNE["bn_ladder"] if N % b == 0), 512)
         else:
             bn = next((b for b in (1024, 512) if N % b == 0), 512)
     bn = min(bn, _round_up(N, 128))
@@ -427,17 +440,20 @@ def quant_matmul_pallas(
     dq_dtype = jnp.bfloat16 if x.dtype != jnp.float32 else jnp.float32
 
     if Mp <= 64:
+        nk = K // (KCHUNK * ku)
         if layer is None:
-            q_spec = pl.BlockSpec((128, bn), lambda m, n, k: (k, n))
-            s_spec = pl.BlockSpec((8, bn), lambda m, n, k: (k, n))
+            q_spec = pl.BlockSpec((128 * ku, bn), lambda m, n, k: (k, n))
+            s_spec = pl.BlockSpec((8 * ku, bn), lambda m, n, k: (k, n))
         else:
-            q_spec = pl.BlockSpec((1, 128, bn), lambda m, n, k: (layer, k, n))
-            s_spec = pl.BlockSpec((1, 8, bn), lambda m, n, k: (layer, k, n))
+            q_spec = pl.BlockSpec((1, 128 * ku, bn),
+                                  lambda m, n, k: (layer, k, n))
+            s_spec = pl.BlockSpec((1, 8 * ku, bn),
+                                  lambda m, n, k: (layer, k, n))
         # decode shapes: interleaved dequant+dot, k innermost
         if norm_w is not None:
             out = pl.pallas_call(
                 functools.partial(
-                    _qmm_kernel_small_norm, nk=nk, out_dtype=out_dtype,
+                    _qmm_kernel_small_norm, nk=nk, ku=ku, out_dtype=out_dtype,
                     eps=norm_eps, interpret=interpret,
                 ),
                 grid=(nm, nn, nk),
@@ -451,7 +467,7 @@ def quant_matmul_pallas(
                 out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
                 scratch_shapes=[
                     pltpu.VMEM((bm, bn), jnp.float32),
-                    pltpu.VMEM((nk, bm, KCHUNK), x.dtype),
+                    pltpu.VMEM((nk * ku, bm, KCHUNK), x.dtype),
                 ],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024
@@ -461,12 +477,12 @@ def quant_matmul_pallas(
             return out[:M, :N]
         out = pl.pallas_call(
             functools.partial(
-                _qmm_kernel_small, nk=nk, out_dtype=out_dtype,
+                _qmm_kernel_small, nk=nk, ku=ku, out_dtype=out_dtype,
                 interpret=interpret,
             ),
             grid=(nm, nn, nk),
             in_specs=[
-                pl.BlockSpec((bm, KCHUNK), lambda m, n, k: (m, k)),
+                pl.BlockSpec((bm, KCHUNK * ku), lambda m, n, k: (m, k)),
                 q_spec,
                 s_spec,
             ],

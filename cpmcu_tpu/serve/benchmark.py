@@ -82,11 +82,13 @@ def run_dataset_evaluation(
 
     results = []
     for qi, q in enumerate(questions):
-        engine.reset()
         history: List[Dict[str, str]] = []
         turn_stats = []
         answers = []
         for turn in q["turns"]:
+            # each turn re-encodes the FULL history (reference cli.py:500),
+            # so the cache must restart from position 0 every turn
+            engine.reset()
             history.append({"role": "user", "content": turn})
             if use_chat_template and getattr(tokenizer, "chat_template", None):
                 ids = tokenizer.apply_chat_template(

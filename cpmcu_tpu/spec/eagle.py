@@ -52,6 +52,10 @@ class EagleConfig:
     frspec_vocab_size: int = 0  # 0 = full vocab
     use_input_norm: bool = False
     use_attn_norm: bool = True  # False -> layer0 attn norm is identity
+    rotation: bool = False  # hier-spec rotation variant: an extra Linear
+    # ("eagle.rms_norm_rotation") applied to prev_hidden before fc2
+    # (hier_ea_w4a16_gm_rot_spec_w4a16_gm.cuh:22,294-310; selected via
+    # rotation=True, hier_eagle_w4a16_gm_spec_w4a16_gm.py:44,94-95)
 
     def __post_init__(self):
         assert self.tree_size <= 64, "tree_size must be <= 64"
@@ -100,6 +104,8 @@ def init_eagle_params(ecfg: EagleConfig, key, scale: float = 0.02) -> dict:
     if ecfg.use_input_norm:
         p["input_norm1"] = jnp.ones((H,), dt)
         p["input_norm2"] = jnp.ones((H,), dt)
+    if ecfg.rotation:
+        p["rotation"] = {"w": w(next(ks), (H, H))}
     return p
 
 
@@ -114,6 +120,10 @@ def eagle_fc(ecfg: EagleConfig, ep: dict, embed, hidden):
     if ecfg.use_input_norm:
         e = rms_norm(e, ep["input_norm1"], m.rms_norm_eps)
         h = rms_norm(h, ep["input_norm2"], m.rms_norm_eps)
+    if ecfg.rotation:
+        # hier rotation variant: prev_hidden passes through the
+        # rms_norm_rotation Linear before fc2 (hier_ea..rot..cuh:294-310)
+        h = linear(ep["rotation"], h)
     return linear(ep["fc1"], e) + linear(ep["fc2"], h)
 
 

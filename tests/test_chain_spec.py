@@ -58,3 +58,19 @@ def test_chain_reset_reproducible(setup):
     spec.reset()
     b, _, _ = spec.generate([7, 8, 9], generation_length=9)
     assert a == b
+
+
+def test_sharded_chain_engine_matches_unsharded(setup):
+    from cpmcu_tpu.core.mesh import create_mesh
+
+    cfg, params, draft_cfg, dparams = setup
+    eng = EngineConfig(chunk_length=8, max_total_length=128, spec_num_iter=3)
+    plain = ChainSpecEngine(cfg, draft_cfg, eng, params, dparams,
+                            attn_impl="xla")
+    want, _, _ = plain.generate([1, 2, 3, 4, 5], generation_length=10)
+
+    mesh = create_mesh(tp_size=2, dp_size=4)
+    sharded = ChainSpecEngine(cfg, draft_cfg, eng, params, dparams,
+                              attn_impl="xla", mesh=mesh)
+    got, _, _ = sharded.generate([1, 2, 3, 4, 5], generation_length=10)
+    assert got == want

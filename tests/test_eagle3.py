@@ -157,3 +157,20 @@ def test_eagle3_loader(tmp_path, setup):
                         ep, attn_impl="xla")
     toks, _, _ = spec.generate([1, 2, 3], generation_length=6)
     assert len(toks) == 6
+
+
+def test_sharded_eagle3_matches_unsharded(setup):
+    from cpmcu_tpu.core.mesh import create_mesh
+    from cpmcu_tpu.core.config import EngineConfig
+    from cpmcu_tpu.engine.eagle3_engine import Eagle3Engine
+
+    cfg, params, ecfg, eparams = setup
+    eng = EngineConfig(chunk_length=8, max_total_length=128)
+    plain = Eagle3Engine(cfg, ecfg, eng, params, eparams, attn_impl="xla")
+    want, _, _ = plain.generate([5, 6, 7, 8], generation_length=10)
+
+    mesh = create_mesh(tp_size=2, dp_size=4)
+    sharded = Eagle3Engine(cfg, ecfg, eng, params, eparams, attn_impl="xla",
+                           mesh=mesh)
+    got, _, _ = sharded.generate([5, 6, 7, 8], generation_length=10)
+    assert got == want

@@ -94,3 +94,59 @@ def test_hier_inner_cache_matches_clean_prefill(setup):
     got_v = np.asarray(hier.inner.cache.v)[:, :, :L]
     want_v = np.asarray(clean.cache.v)[:, :, :L]
     np.testing.assert_allclose(got_v, want_v, rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_hier_matches_unsharded(setup):
+    from cpmcu_tpu.core.mesh import create_mesh
+
+    cfg, params, draft_cfg, dparams, ecfg, eparams = setup
+    eng = EngineConfig(chunk_length=8, max_total_length=256)
+    plain = HierSpecEngine(cfg, draft_cfg, ecfg, eng, params, dparams,
+                           eparams, attn_impl="xla", min_draft_length=4)
+    want, _, _ = plain.generate([1, 2, 3, 4, 5], generation_length=10)
+
+    mesh = create_mesh(tp_size=2, dp_size=4)
+    sharded = HierSpecEngine(cfg, draft_cfg, ecfg, eng, params, dparams,
+                             eparams, attn_impl="xla", min_draft_length=4,
+                             mesh=mesh)
+    got, _, _ = sharded.generate([1, 2, 3, 4, 5], generation_length=10)
+    assert got == want
+
+
+def test_hier_rotation_variant_lossless(setup):
+    """Rotation variant (extra rms_norm_rotation Linear on prev_hidden
+    before fc2, hier_ea_w4a16_gm_rot_spec_w4a16_gm.cuh:294-310): still
+    greedily lossless, and the loader maps the checkpoint name."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cpmcu_tpu.io.hf_loader import load_eagle_params
+    from cpmcu_tpu.spec.eagle import init_eagle_params
+
+    cfg, params, draft_cfg, dparams, _, _ = setup
+    ecfg = EagleConfig(
+        model=dataclasses.replace(cfg, num_layers=1),
+        num_iter=2, topk_per_iter=3, tree_size=6, rotation=True,
+    )
+    eparams = init_eagle_params(ecfg, jax.random.PRNGKey(2))
+    assert "rotation" in eparams
+
+    eng = EngineConfig(chunk_length=8, max_total_length=256)
+    plain = Engine(cfg, eng, params, attn_impl="xla")
+    want, _, _ = plain.generate([1, 2, 3, 4, 5], generation_length=12)
+
+    hier = HierSpecEngine(
+        cfg, draft_cfg, ecfg, eng, params, dparams, eparams,
+        attn_impl="xla", min_draft_length=4,
+    )
+    got, _, _ = hier.generate([1, 2, 3, 4, 5], generation_length=12)
+    assert got == want
+
+    # loader maps eagle.rms_norm_rotation.weight -> rotation pack
+    H = cfg.hidden_size
+    rot = np.random.default_rng(0).standard_normal((H, H)).astype(np.float32)
+    tensors = [("rms_norm_rotation.weight", rot),
+               ("fc.weight", np.zeros((H, 2 * H), np.float32))]
+    loaded = load_eagle_params(tensors, cfg, ecfg)
+    np.testing.assert_allclose(np.asarray(loaded["rotation"]["w"]), rot.T,
+                               rtol=1e-6, atol=1e-6)

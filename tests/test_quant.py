@@ -214,3 +214,34 @@ def test_quant_lmhead_end_to_end():
     # generation end-to-end (greedy) emits in-vocab tokens
     toks, _, _ = e_q.generate([1, 2, 3], generation_length=8)
     assert all(0 <= t < V for t in toks)
+
+
+@pytest.mark.parametrize("ku", [1, 2, 4])
+def test_quant_matmul_ku_unroll_interpret(ku):
+    """k-unrolled decode kernel (TUNE['ku']) matches the ku=1 result."""
+    import cpmcu_tpu.ops.quant as Q
+
+    rng = np.random.default_rng(8)
+    M, K, N = 4, 4096, 128
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+    nw = jnp.asarray(rng.uniform(0.5, 1.5, size=(K,)).astype(np.float32))
+    pack = pack_weights(w)
+    old = dict(Q.TUNE)
+    try:
+        Q.TUNE["ku"] = ku
+        out = quant_matmul_pallas(x, pack["q"], pack["s"], bm=8, bn=128,
+                                  interpret=True)
+        outn = quant_matmul_pallas(x, pack["q"], pack["s"], nw, bm=8, bn=128,
+                                   interpret=True)
+    finally:
+        Q.TUNE.update(old)
+    ref = x @ dequantize(pack["q"], pack["s"], dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-2)
+    from cpmcu_tpu.layers.modules import rms_norm
+
+    refn = rms_norm(x, nw, 1e-6) @ dequantize(pack["q"], pack["s"],
+                                              dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(outn), np.asarray(refn),
+                               rtol=1e-3, atol=1e-2)
