@@ -20,12 +20,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 from cpmcu_tpu.core.config import MINICPM4_8B, EngineConfig
 from cpmcu_tpu.engine.batch_engine import ContinuousBatchingEngine
 
 
 def main():
-    cfg = dataclasses.replace(MINICPM4_8B, quant=True)
+    cfg = dataclasses.replace(MINICPM4_8B, quant=True, quant_lmhead=True)
     eng = EngineConfig(chunk_length=2048, max_total_length=8 * 2048)
     from bench import make_params
 

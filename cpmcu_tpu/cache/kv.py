@@ -77,17 +77,33 @@ def compact(cache: KVCache, accept_pos, accept_len, base_len) -> KVCache:
     """
     n = accept_pos.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    src = base_len + accept_pos  # (n,)
-    dst = base_len + idx
-    # Rows where i >= accept_len: make the move a no-op (src = dst).
-    src = jnp.where(idx < accept_len, src, dst)
+    # Rows where i >= accept_len: make the move a no-op (src = self).
+    src = jnp.where(idx < accept_len, accept_pos, idx)  # tree-local indices
 
     def fix(arr):  # (L, KVH, S, D)
-        rows = arr[:, :, src]  # gather first (functional two-phase move)
-        # contiguous destination -> dynamic_update_slice, which XLA keeps
-        # in place on the donated buffer (a scatter with an index array
-        # defeated the aliasing analysis and copied the whole cache each
-        # spec round — ~1ms/round at a 4K-cap 8B)
+        # Slice the n-row tree window FIRST, gather inside it, splice back:
+        #  * gathering the full cache (arr[:, :, global_src]) made XLA pick
+        #    a different layout for the gather operand and relayout-copy
+        #    the ENTIRE cache there and back — 4 x 14ms per 8-round spec
+        #    segment at 32K ctx (round-2 profiler finding);
+        #  * the contiguous dynamic_update_slice destination stays in place
+        #    on the donated buffer (an index-array scatter defeated the
+        #    aliasing analysis — ~1ms/round at a 4K-cap 8B).
+        win = jax.lax.dynamic_slice(
+            arr,
+            (jnp.int32(0), jnp.int32(0), base_len, jnp.int32(0)),
+            (arr.shape[0], arr.shape[1], n, arr.shape[3]),
+        )
+        # permutation as a one-hot matmul, NOT jnp.take: the gather's output
+        # got layout {3,0,1,2}, and XLA's layout assignment then relayouted
+        # the ENTIRE cache around the update to match the 12-row operand
+        # (2 x 1.7ms per spec round at 32K; round-2 profiler finding). The
+        # dot output keeps the default layout; one-hot x rows is exact in
+        # any dtype.
+        perm = (src[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :])
+        rows = jnp.einsum(
+            "ij,lkjd->lkid", perm.astype(arr.dtype), win
+        )
         return jax.lax.dynamic_update_slice(
             arr, rows, (jnp.int32(0), jnp.int32(0), base_len, jnp.int32(0))
         )
@@ -97,3 +113,47 @@ def compact(cache: KVCache, accept_pos, accept_len, base_len) -> KVCache:
         v=fix(cache.v),
         length=(base_len + accept_len).astype(jnp.int32),
     )
+
+
+def commit_tree_rows(
+    cache, k_rows, v_rows, accept_pos, accept_len, base_len,
+    defer_compress: bool = False,
+):
+    """Write a verified tree's K/V rows (llama.forward defer_kv_write
+    output, (L, KVH, T, D)) permuted by the accepted path, in ONE in-place
+    update per buffer at ``base_len``.
+
+    Equivalent to the write-at-length-then-``compact`` sequence but with no
+    read-after-write on the cache inside fused segments — that pattern made
+    XLA copy the whole carry cache every spec round (~3.5ms at 32K ctx;
+    round-2 profiling). Handles both cache flavors; sparse mirrors advance
+    like cache.sparse_kv.compact_sparse (or defer to the segment caller).
+    """
+    n = accept_pos.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    src = jnp.where(idx < accept_len, accept_pos, idx)
+    # one-hot permutation dot (exact; layout-neutral — see compact())
+    perm = (src[:, None] == idx[None, :]).astype(k_rows.dtype)
+
+    def wr(big, rows):  # rows (L, KVH, n, D)
+        sel = jnp.einsum("ij,lkjd->lkid", perm, rows)
+        return jax.lax.dynamic_update_slice(
+            big, sel.astype(big.dtype),
+            (jnp.int32(0), jnp.int32(0), base_len, jnp.int32(0)),
+        )
+
+    base_len = jnp.asarray(base_len, jnp.int32)
+    new_len = base_len + jnp.asarray(accept_len, jnp.int32)
+    if hasattr(cache, "c1"):
+        import dataclasses as _dc
+
+        from .sparse_kv import commit
+
+        moved = _dc.replace(
+            cache, k=wr(cache.k, k_rows), v=wr(cache.v, v_rows),
+            length=base_len,
+        )
+        if defer_compress:
+            return moved.with_length(new_len)
+        return commit(moved, accept_len, max_new=n)
+    return KVCache(wr(cache.k, k_rows), wr(cache.v, v_rows), new_len)

@@ -51,11 +51,23 @@ def _expand_and_verify(
     )
     tree_tokens = tree_tokens.at[0].set(jnp.asarray(draft0, jnp.int32))
 
-    logits, cache, normed = llama.forward(
-        base_cfg, params, rope, cache, tree_tokens, tree_pos, tree_mask,
-        logits_mode="all", attn_impl=attn_impl, sparse_select=sparse_select,
-        return_hidden=True, kv_span=kv_span, unroll=unroll,
-    )
+    if unroll:
+        # deferred tree-KV write: verify first, then ONE permuted in-place
+        # write of the accepted rows (cache.kv.commit_tree_rows) — the
+        # write-then-compact sequence forced a whole-cache carry copy in
+        # fused segments (round-2 profiling)
+        logits, cache, normed, (k_pend, v_pend) = llama.forward(
+            base_cfg, params, rope, cache, tree_tokens, tree_pos, tree_mask,
+            logits_mode="all", attn_impl=attn_impl,
+            sparse_select=sparse_select, return_hidden=True, kv_span=kv_span,
+            unroll=True, defer_kv_write=True,
+        )
+    else:
+        logits, cache, normed = llama.forward(
+            base_cfg, params, rope, cache, tree_tokens, tree_pos, tree_mask,
+            logits_mode="all", attn_impl=attn_impl,
+            sparse_select=sparse_select, return_hidden=True, kv_span=kv_span,
+        )
     if temperature == 0.0:
         gt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     else:
@@ -65,8 +77,16 @@ def _expand_and_verify(
     accept_len, accept_pos, emitted = verify_tree(
         tree_tokens, gt, tree_pos, tree_mask, tree_parent, orig
     )
-    cache = fix_kv(cache, accept_pos, accept_len, orig,
-                   defer_compress=defer_compress)
+    if unroll:
+        from ..cache.kv import commit_tree_rows
+
+        cache = commit_tree_rows(
+            cache, k_pend, v_pend, accept_pos, accept_len, orig,
+            defer_compress=defer_compress,
+        )
+    else:
+        cache = fix_kv(cache, accept_pos, accept_len, orig,
+                       defer_compress=defer_compress)
 
     estate = EagleState(
         kv=ekv.with_length(orig),

@@ -74,10 +74,10 @@ def attention_block(
     )
 
     if sparse_select:
-        from ..ops.sparse import select_blocks, stage1_scores
+        from ..ops.sparse import select_blocks, stage1_scores_auto
         from ..ops.sparse_flash import mha_sparse
 
-        scores = stage1_scores(
+        scores = stage1_scores_auto(
             q, c1, c2,
             c_len_of(cache_len, C1_STRIDE), c_len_of(cache_len, C2_STRIDE),
             use_lse=cfg.use_compress_lse,
@@ -161,10 +161,10 @@ def attention_block_zerocopy(
     )
 
     if sparse_select:
-        from ..ops.sparse import select_blocks, stage1_scores
+        from ..ops.sparse import select_blocks, stage1_scores_auto
         from ..ops.sparse_flash import BLOCK, sparse_flash_mha
 
-        scores = stage1_scores(
+        scores = stage1_scores_auto(
             q, cache.c1[li], cache.c2[li],
             c_len_of(prior, C1_STRIDE), c_len_of(prior, C2_STRIDE),
             use_lse=cfg.use_compress_lse,

@@ -173,6 +173,7 @@ def forward_batch(cfg: ModelConfig, params: dict, tokens: jax.Array) -> jax.Arra
     static_argnames=(
         "cfg", "logits_mode", "window", "sink", "attn_impl",
         "sparse_select", "return_hidden", "tap_layers", "kv_span", "unroll",
+        "defer_kv_write",
     ),
     donate_argnames=("cache",),
 )
@@ -203,6 +204,15 @@ def forward(
                                   # return them concatenated (T, len*H)
     unroll: bool = False,  # unrolled layer loop: zero cache-copy per step
                                   # (see below); bigger traces/compiles
+    defer_kv_write: bool = False,  # (unroll only) do NOT write the T new
+                                  # rows into the cache; return them as an
+                                  # extra (L, KVH, T, D) pair instead. Spec
+                                  # verify writes the permuted ACCEPTED rows
+                                  # once — the write-at-length + in-place
+                                  # permute pattern forced a read-after-
+                                  # write on the carry and XLA copied the
+                                  # whole cache every fused spec round
+                                  # (~3.5ms at 32K; round-2 profiling)
     kv_span: Optional[int] = None,  # static attention-span bucket: only the
                                   # first kv_span cache rows flow through the
                                   # layer scan and kernels, so per-step cost
@@ -295,12 +305,31 @@ def forward(
             h = h + ffn_out * jnp.asarray(cfg.scale_residual, h.dtype)
             ks_new.append(k_li)
             vs_new.append(v_li)
-        # (L, T, KVH, D) -> (L, KVH, T, D), one in-place scatter at length
-        k_stack = jnp.stack(ks_new).transpose(0, 2, 1, 3)
-        v_stack = jnp.stack(vs_new).transpose(0, 2, 1, 3)
-        start = jnp.asarray(cache.length, jnp.int32)
-        new_k = jax.lax.dynamic_update_slice(cache.k, k_stack, (0, 0, start, 0))
-        new_v = jax.lax.dynamic_update_slice(cache.v, v_stack, (0, 0, start, 0))
+        if defer_kv_write:
+            kv_pending = (
+                jnp.stack([jnp.swapaxes(k, 0, 1) for k in ks_new]),
+                jnp.stack([jnp.swapaxes(v, 0, 1) for v in vs_new]),
+            )  # (L, KVH, T, D) small; caller writes post-verify
+            new_k, new_v = cache.k, cache.v
+        else:
+            # per-layer in-place writes at length. NOT one stacked
+            # dynamic_update_slice: the (L, KVH, T, D) stack+transpose
+            # operand made XLA's layout assignment flip the WHOLE cache to
+            # the stack's layout and back around the fused copy+DUS —
+            # 4 x 1.7ms full-cache relayout copies per spec round at 32K
+            # (round-2 profiler finding). 2L tiny DUS on the donated buffer
+            # stay in place with no layout pressure.
+            start = jnp.asarray(cache.length, jnp.int32)
+            new_k, new_v = cache.k, cache.v
+            for li in range(cfg.num_layers):
+                k_li = jnp.swapaxes(ks_new[li], 0, 1)[None]  # (1, KVH, T, D)
+                v_li = jnp.swapaxes(vs_new[li], 0, 1)[None]
+                new_k = jax.lax.dynamic_update_slice(
+                    new_k, k_li.astype(new_k.dtype), (li, 0, start, 0)
+                )
+                new_v = jax.lax.dynamic_update_slice(
+                    new_v, v_li.astype(new_v.dtype), (li, 0, start, 0)
+                )
     else:
         ck, cv = cache.k, cache.v
         if span is not None:
@@ -330,6 +359,9 @@ def forward(
     extras = ()
     if tap_layers:
         extras = (taps.transpose(1, 0, 2).reshape(T, n_taps * cfg.hidden_size),)
+    if defer_kv_write:
+        assert unroll, "defer_kv_write requires the unrolled layer path"
+        extras = extras + (kv_pending,)
 
     if logits_mode == "none" and not return_hidden:
         return (h, new_cache) + extras

@@ -165,6 +165,20 @@ def stage1_scores(
     return p.transpose(1, 0, 2, 3).reshape(KVH, Tp, S1)[:, :T]
 
 
+def stage1_scores_auto(q, c1, c2, c1_len, c2_len, *, use_lse: bool = True):
+    """Dispatch: Pallas two-pass scorer for prefill shapes on TPU (the XLA
+    path materializes (KVH, bt, G, S1) f32 temporaries — ~100MB/chunk at
+    96K); XLA for decode shapes (selection math there is ~free) and
+    non-TPU backends."""
+    T = q.shape[0]
+    if T >= 64 and q.shape[-1] % 128 == 0 and jax.default_backend() == "tpu":
+        from .sparse_stage1 import stage1_scores_pallas
+
+        return stage1_scores_pallas(q, c1, c2, c1_len, c2_len,
+                                    use_lse=use_lse)
+    return stage1_scores(q, c1, c2, c1_len, c2_len, use_lse=use_lse)
+
+
 # ---------------------------------------------------------------------------
 # 3+4. max-pool block scoring + top-k selection
 # ---------------------------------------------------------------------------

@@ -406,3 +406,37 @@ def test_sparse_spec_matches_plain_decode():
     spec = SpecEngine(cfg, ecfg, eng, params, eparams, attn_impl="xla")
     got, _, _ = spec.generate(prompt, generation_length=10)
     assert got[:2] == want[:2]
+
+
+# ---------------------------------------------------------------------------
+# Pallas stage-1 scorer (prefill shapes)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("use_lse,T", [(True, 128), (False, 128), (True, 70)])
+def test_stage1_pallas_matches_xla(use_lse, T):
+    """stage1_scores_pallas == the XLA stage1_scores oracle."""
+    import jax
+
+    from cpmcu_tpu.ops.sparse import stage1_scores
+    from cpmcu_tpu.ops.sparse_stage1 import stage1_scores_pallas
+
+    rng = np.random.default_rng(11)
+    KVH, G, D = 2, 4, 128
+    H = KVH * G
+    S1, S2 = 256, 64
+    q = jnp.asarray(rng.standard_normal((T, H, D)).astype(np.float32))
+    c1 = jnp.asarray(rng.standard_normal((KVH, S1, D)).astype(np.float32))
+    c2 = jnp.asarray(rng.standard_normal((KVH, S2, D)).astype(np.float32))
+    c1_len = jnp.asarray(200, jnp.int32)
+    c2_len = jnp.asarray(50, jnp.int32)
+
+    want = stage1_scores(q, c1, c2, c1_len, c2_len, use_lse=use_lse)
+    got = stage1_scores_pallas(
+        q, c1, c2, c1_len, c2_len, use_lse=use_lse, bt=32, bs=128,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+    # masked columns must be exactly zero (max-pool relies on it)
+    assert np.all(np.asarray(got)[:, :, 200:] == 0.0)
