@@ -121,16 +121,17 @@ def batch_decode_step(
     ks_new, vs_new = [], []
 
     for li in range(cfg.num_layers):
-        normed = rms_norm(h, lp["attn_norm"][li], cfg.rms_norm_eps)
+        # norms fuse into the quant decode kernels (layers.modules.linear)
+        nrm = (lp["attn_norm"][li], cfg.rms_norm_eps)
         if "wqkv" in lp:
-            qkv = linear(lp["wqkv"], normed, li)
+            qkv = linear(lp["wqkv"], h, li, norm=nrm)
             q = qkv[:, : cfg.q_size].reshape(B, cfg.num_heads, D)
             k = qkv[:, cfg.q_size : cfg.q_size + cfg.kv_size].reshape(B, KVH, D)
             v = qkv[:, cfg.q_size + cfg.kv_size :].reshape(B, KVH, D)
         else:
-            q = linear(lp["wq"], normed, li).reshape(B, cfg.num_heads, D)
-            k = linear(lp["wk"], normed, li).reshape(B, KVH, D)
-            v = linear(lp["wv"], normed, li).reshape(B, KVH, D)
+            q = linear(lp["wq"], h, li, norm=nrm).reshape(B, cfg.num_heads, D)
+            k = linear(lp["wk"], h, li, norm=nrm).reshape(B, KVH, D)
+            v = linear(lp["wv"], h, li, norm=nrm).reshape(B, KVH, D)
         if cfg.use_qk_norm:
             q = rms_norm(q, lp["q_norm"][li], cfg.rms_norm_eps)
             k = rms_norm(k, lp["k_norm"][li], cfg.rms_norm_eps)
@@ -149,8 +150,8 @@ def batch_decode_step(
 
         attn = linear(lp["wo"], out.reshape(B, cfg.q_size), li)
         h = h + attn * res
-        normed = rms_norm(h, lp["ffn_norm"][li], cfg.rms_norm_eps)
-        h = h + gated_ffn(lp, normed, layer=li) * res
+        h = h + gated_ffn(lp, h, layer=li,
+                          norm=(lp["ffn_norm"][li], cfg.rms_norm_eps)) * res
         ks_new.append(k)
         vs_new.append(v)
 
