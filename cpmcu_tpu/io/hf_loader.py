@@ -251,7 +251,9 @@ def load_params(
         if leaf in ("q",):
             layers.setdefault(sub, {})[leaf] = dev(stacked, key, jnp.int32)
         elif leaf in ("s",):
-            layers.setdefault(sub, {})[leaf] = dev(stacked, key, jnp.float32)
+            from ..ops.quant import SCALE_DTYPE
+
+            layers.setdefault(sub, {})[leaf] = dev(stacked, key, SCALE_DTYPE)
         elif leaf:
             layers.setdefault(sub, {})[leaf] = dev(stacked, key)
         else:
@@ -263,8 +265,10 @@ def load_params(
         from ..ops.quant import pack_weights_padded
 
         pk = pack_weights_padded(np.asarray(top["lm_head"], np.float32))
+        from ..ops.quant import SCALE_DTYPE
+
         lm = {"q": dev(pk["q"], "lm_head.q", jnp.int32),
-              "s": dev(pk["s"], "lm_head.s", jnp.float32)}
+              "s": dev(pk["s"], "lm_head.s", SCALE_DTYPE)}
     else:
         lm = {"w": dev(top["lm_head"], "lm_head.w")}
     params = {

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import ModelConfig
-from ..ops.quant import GROUP_SIZE, pack_rows, quantize_np
+from ..ops.quant import GROUP_SIZE, SCALE_DTYPE, pack_rows, quantize_np
 
 QUANT_LINEARS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
@@ -40,7 +40,7 @@ def quantize_params(params: dict, cfg: ModelConfig) -> dict:
             qs.append(pack_rows(q4))
             ss.append(s)
         p["q"] = jnp.asarray(np.stack(qs))
-        p["s"] = jnp.asarray(np.stack(ss))
+        p["s"] = jnp.asarray(np.stack(ss), SCALE_DTYPE)
         layers[name] = p
     out = {**params, "layers": layers}
     if cfg.quant_lmhead and "w" in params.get("lm_head", {}):
@@ -68,7 +68,7 @@ def init_params_quant(cfg: ModelConfig, key) -> dict:
     def pack(shape_kn):
         K, N = shape_kn
         q = jax.random.randint(next(ks), (L, K // 8, N), -(2**31), 2**31 - 1, jnp.int32)
-        s = jnp.full((L, K // GROUP_SIZE, N), 0.02 / np.sqrt(K), jnp.float32)
+        s = jnp.full((L, K // GROUP_SIZE, N), 0.02 / np.sqrt(K), SCALE_DTYPE)
         return {"q": q, "s": s}
 
     embed = (jax.random.normal(next(ks), (cfg.vocab_size, H), jnp.float32) * 0.02).astype(dt)
@@ -90,7 +90,7 @@ def init_params_quant(cfg: ModelConfig, key) -> dict:
         Vp = -(-cfg.vocab_size // 2048) * 2048  # kernel-tile-padded vocab
         q = jax.random.randint(next(ks), (H // 8, Vp), -(2**31), 2**31 - 1,
                                jnp.int32)
-        s = jnp.full((H // GROUP_SIZE, Vp), 0.02 / np.sqrt(H), jnp.float32)
+        s = jnp.full((H // GROUP_SIZE, Vp), 0.02 / np.sqrt(H), SCALE_DTYPE)
         lm_head = {"q": q, "s": s}
     else:
         lm = (jax.random.normal(next(ks), (H, cfg.vocab_size), jnp.float32)

@@ -24,7 +24,7 @@ prefill. Still by construction:
     traffic, which is what makes batch-1 decode ~4x faster than bf16
     weights.
 
-Storage: ``q`` int32 (K/8, N), ``s`` float32 (K/g, N). Requires K % 1024 == 0
+Storage: ``q`` int32 (K/8, N), ``s`` SCALE_DTYPE (K/g, N). Requires K % 1024 == 0
 and g == 128 (the reference's converter imposes the same: 4-bit, g=128, sym,
 desc_act=False — scripts/model_convert/gptq2marlin.py:86-95); other shapes
 fall back to the XLA dequant path.
@@ -43,6 +43,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 GROUP_SIZE = 128
 KCHUNK = 1024  # unpacked K rows per packed 128-row block
+
+# Group-scale storage dtype. bf16 halves the scale stream (1/32 of the
+# weight bytes) and measured -0.22 ms/token on the 8B decode
+# (benchmark/exp_scales_dtype.py); the scale rounding (<=0.4% relative) is
+# an order of magnitude below the int4 quantization step. The kernels and
+# the dequant oracle cast scales to f32 at use, so any float dtype works —
+# set to jnp.float32 to store exact GPTQ fp16 scale values.
+SCALE_DTYPE = jnp.bfloat16
 
 # Decode-kernel tuning knobs (ablation scripts mutate + jax.clear_caches()):
 #   ku        — unpacked KCHUNKs per grid step (fatter, fewer steps)
@@ -102,7 +110,8 @@ def unpack_rows(qpacked: np.ndarray) -> np.ndarray:
 def pack_weights(w: np.ndarray, group_size: int = GROUP_SIZE) -> dict:
     """Quantize + pack a dense fp weight (K, N) -> {'q','s'} pack."""
     q4, s = quantize_np(np.asarray(w, np.float32), group_size)
-    return {"q": jnp.asarray(pack_rows(q4)), "s": jnp.asarray(s)}
+    return {"q": jnp.asarray(pack_rows(q4)),
+            "s": jnp.asarray(s, SCALE_DTYPE)}
 
 
 def pack_weights_padded(
@@ -167,7 +176,7 @@ def repack_gptq(
             raise ValueError("only symmetric (zero-point 8) GPTQ supported")
     return {
         "q": jnp.asarray(packed if packed is not None else pack_rows(q4)),
-        "s": jnp.asarray(np.asarray(scales, np.float32)),
+        "s": jnp.asarray(np.asarray(scales, np.float32), SCALE_DTYPE),
     }
 
 

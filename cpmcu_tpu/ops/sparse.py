@@ -165,13 +165,22 @@ def stage1_scores(
     return p.transpose(1, 0, 2, 3).reshape(KVH, Tp, S1)[:, :T]
 
 
+# prefill stage-1 backend: "xla" | "pallas". Measured at ~96K synthetic
+# context the engine-level chunk time is within noise (XLA 1459ms vs
+# Pallas 1500ms — stage-2 attention dominates under the synthetic
+# union-saturation caveat, PERF.md), so the simpler XLA path is the
+# default; the Pallas two-pass scorer (ops/sparse_stage1.py) avoids the
+# (KVH, bt, G, S1) temporaries and is the candidate when real checkpoints
+# shrink stage-2 (benchmark/exp_stage1_ab.py re-measures).
+STAGE1_PREFILL_IMPL = "xla"
+
+
 def stage1_scores_auto(q, c1, c2, c1_len, c2_len, *, use_lse: bool = True):
-    """Dispatch: Pallas two-pass scorer for prefill shapes on TPU (the XLA
-    path materializes (KVH, bt, G, S1) f32 temporaries — ~100MB/chunk at
-    96K); XLA for decode shapes (selection math there is ~free) and
-    non-TPU backends."""
+    """Dispatch between the XLA scorer and the Pallas two-pass scorer
+    (prefill shapes on TPU only; decode selection math is ~free in XLA)."""
     T = q.shape[0]
-    if T >= 64 and q.shape[-1] % 128 == 0 and jax.default_backend() == "tpu":
+    if (STAGE1_PREFILL_IMPL == "pallas" and T >= 64
+            and q.shape[-1] % 128 == 0 and jax.default_backend() == "tpu"):
         from .sparse_stage1 import stage1_scores_pallas
 
         return stage1_scores_pallas(q, c1, c2, c1_len, c2_len,

@@ -42,9 +42,9 @@ def _cast_params(params, dtype):
     import jax.numpy as jnp
 
     def cast(path, x):
-        # int4 packs stay int32; group scales ('s') stay f32 in every dtype
-        # mode (both the kernel and the XLA fallback consume f32 scales), so
-        # the quantized weights are bit-identical across activation dtypes
+        # int4 packs stay int32; group scales ('s') keep their pack dtype
+        # in every activation-dtype mode (the kernels cast scales to f32 at
+        # use), so the quantized weights are bit-identical across variants
         if x.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
             return x
         if path and getattr(path[-1], "key", None) == "s":

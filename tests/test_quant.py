@@ -79,8 +79,10 @@ def test_repack_gptq_roundtrip():
     ref = (q4.astype(np.float32) - 8.0) * np.repeat(
         scales.astype(np.float32), GROUP_SIZE, axis=0
     )
+    # scales are stored as SCALE_DTYPE (bf16 by default: ~0.4% relative
+    # rounding, an order below the int4 step — ops/quant.py SCALE_DTYPE)
     np.testing.assert_allclose(
-        np.asarray(dequantize(pack["q"], pack["s"])), ref, rtol=1e-3, atol=1e-5
+        np.asarray(dequantize(pack["q"], pack["s"])), ref, rtol=5e-3, atol=1e-4
     )
 
 
