@@ -135,6 +135,116 @@ def hier_outer_verify(
     return emitted, accept_len, cache, key, path_logits
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "base_cfg", "draft_cfg", "ecfg", "inner_rounds", "max_chain",
+        "temperature", "top_k", "top_p", "attn_impl", "sparse_select",
+    ),
+    donate_argnames=("cache", "dcache", "ekv"),
+)
+def hier_fused_round(
+    base_cfg: ModelConfig,
+    draft_cfg: ModelConfig,
+    ecfg: EagleConfig,
+    params, rope, cache,
+    dparams, eparams, drope,
+    dcache: KVCache,
+    ekv: KVCache,
+    draft0, key,
+    *, inner_rounds: int, max_chain: int, temperature: float, top_k: int,
+    top_p: float, attn_impl: str, sparse_select: bool = False,
+):
+    """One ENTIRE outer round in a single device program: catch-up +
+    ``inner_rounds`` inner EAGLE spec rounds (lax.scan) + on-device chain
+    assembly + big-model sequential verify + draft-cache rollback.
+
+    The host-driven loop costs ~2 dispatches and 1 readback PER INNER ROUND
+    (the reference pays the same in pybind calls); on a tunneled device the
+    ~50-100ms round trips made hierarchical spec ~1.4 s/token. One fused
+    program brings it to one dispatch + ONE packed readback per outer
+    round. A fixed ``inner_rounds`` (each round accepts >= 1 token)
+    replaces the host's while-len(chain)<min loop — the chain is clipped to
+    ``max_chain`` either way and verify poisons padding rows.
+
+    Returns (ints, cache, dcache, new_ekv, key, path_logits) where
+    ``ints = [emitted(max_chain+1) | alens(inner_rounds) | accept_len]``
+    packs every host-needed integer into one transfer.
+    """
+    from .spec_engine import spec_step
+
+    S = ecfg.tree_size
+    H = draft_cfg.hidden_size
+    assert inner_rounds * S >= max_chain
+
+    # 1. catch-up (hier_catchup body; no commit — see its docstring)
+    d0 = dcache.length
+    tok = jnp.asarray(draft0, jnp.int32)[None]
+    _, dcache, normed = llama.forward(
+        draft_cfg, dparams, drope, dcache, tok, d0[None],
+        logits_mode="none", attn_impl=attn_impl, return_hidden=True,
+        unroll=True,
+    )
+    emb = _embed(draft_cfg, dparams, tok)
+    estate = EagleState(
+        kv=ekv.with_length(d0),
+        prev_embed=jnp.zeros((S, H), draft_cfg.jnp_dtype).at[0].set(emb[0]),
+        prev_hidden=jnp.zeros((S, H), draft_cfg.jnp_dtype).at[0].set(
+            normed[0].astype(draft_cfg.jnp_dtype)
+        ),
+        num_prev=jnp.asarray(1, jnp.int32),
+        pos0=d0.astype(jnp.int32),
+    )
+
+    # 2. fixed number of inner spec rounds (greedy inner: the drafter's
+    #    chain is verified by the big model anyway)
+    def body(carry, _):
+        dcache, estate, dd0, key = carry
+        emitted, alen, dcache, estate, key, _ = spec_step.__wrapped__(
+            draft_cfg, ecfg, dparams, eparams, drope, dcache, estate, dd0,
+            key, temperature=0.0, top_k=0, top_p=1.0, attn_impl=attn_impl,
+            unroll=True,
+        )
+        nxt = emitted[jnp.clip(alen - 1, 0, S - 1)]
+        return (dcache, estate, nxt, key), (emitted, alen)
+
+    (dcache, estate, _, key), (em, alens) = jax.lax.scan(
+        body, (dcache, estate, tok[0], key), None, length=inner_rounds
+    )
+
+    # 3. on-device chain assembly: concatenate each round's accepted tokens
+    CH = inner_rounds * S
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(alens)[:-1].astype(jnp.int32)]
+    )
+    posm = offs[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    valid = jnp.arange(S, dtype=jnp.int32)[None, :] < alens[:, None]
+    chain_flat = jnp.zeros((CH,), jnp.int32).at[
+        jnp.where(valid, posm, CH)
+    ].set(em, mode="drop")
+    total = jnp.sum(alens).astype(jnp.int32)
+
+    # 4. big-model sequential verify of [root | chain[:max_chain]]
+    padded = jnp.concatenate(
+        [jnp.asarray(draft0, jnp.int32)[None], chain_flat[:max_chain]]
+    )
+    n_valid = 1 + jnp.minimum(total, max_chain)
+    emitted_o, accept_len, cache, key, path_logits = (
+        hier_outer_verify.__wrapped__(
+            base_cfg, params, rope, cache, padded, n_valid, key,
+            max_chain=max_chain, temperature=temperature, top_k=top_k,
+            top_p=top_p, attn_impl=attn_impl, sparse_select=sparse_select,
+        )
+    )
+
+    # 5. draft-cache rollback (keep root + outer-accepted rows)
+    dcache = dcache.with_length(d0 + accept_len)
+    ints = jnp.concatenate(
+        [emitted_o, alens.astype(jnp.int32), accept_len[None]]
+    )
+    return ints, cache, dcache, estate.kv, key, path_logits
+
+
 class HierSpecEngine(Engine):
     """Two-level speculation: big model <- chain <- small model <- EAGLE."""
 
@@ -180,34 +290,64 @@ class HierSpecEngine(Engine):
     def _spec_round(self, draft0: int):
         ecfg = self.inner.ecfg
         dcfg = self.inner.cfg
-        d_start = int(self.inner.cache.length)  # rollback base (step 4)
+        d_start = int(self.inner.cache.length)  # rollback base
 
-        # 1. catch-up: feed the pending root to the draft model, rebuild the
-        #    inner EagleState. On the very first round the inner engine's
-        #    prefill-lag state must flush first (spec_step_first equivalent):
-        #    run one inner round through the engine's own path.
         if self._fresh:
-            inner_toks, inner_n = self.inner._spec_round(draft0)
-            self._fresh = False
-        else:
-            self.inner.cache, self.inner.estate = hier_catchup(
-                dcfg, ecfg, self.inner.params, self.inner.rope,
+            # the inner engine's prefill-lag state must flush first
+            # (spec_step_first equivalent): run the first round through the
+            # host-driven path below.
+            return self._spec_round_host(draft0, d_start)
+
+        # fused path: catch-up + inner rounds + chain + outer verify in ONE
+        # device program, ONE packed readback (see hier_fused_round)
+        k_inner = self.min_draft_length
+        ints, self.cache, self.inner.cache, ekv, self.key, path_logits = (
+            hier_fused_round(
+                self.cfg, dcfg, ecfg,
+                self.params, self.rope, self.cache,
+                self.inner.params, self.inner.eparams, self.inner.rope,
                 self.inner.cache, self.inner.estate.kv,
-                jnp.asarray(draft0, jnp.int32), attn_impl=self.attn_impl,
+                jnp.asarray(draft0, jnp.int32), self.key,
+                inner_rounds=k_inner,
+                max_chain=self.max_chain,
+                temperature=self.eng.temperature,
+                top_k=self.eng.top_k,
+                top_p=self.eng.top_p,
+                attn_impl=self.attn_impl,
+                sparse_select=self.sparse_engaged(),
             )
-            inner_toks, inner_n = self.inner._spec_round(draft0)
+        )
+        import dataclasses as _dc
+
+        self.inner.estate = _dc.replace(self.inner.estate, kv=ekv)
+        ints = np.asarray(ints)  # the ONE device->host transfer
+        emitted = ints[: self.max_chain + 1]
+        alens = ints[self.max_chain + 1 : self.max_chain + 1 + k_inner]
+        n = int(ints[-1])
+        self.inner_accept_lengths.extend(int(a) for a in alens)
+        self.host_len += n
+        self.inner.host_len = d_start + n
+        # device array; consumers (tools/logits_parity) fetch lazily
+        self.last_path_logits = path_logits[:n]
+        return emitted[:n].tolist(), n
+
+    def _spec_round_host(self, draft0: int, d_start: int):
+        """Host-driven outer round (first round after prefill only): the
+        inner engine's own path flushes its prefill-lag state."""
+        inner_toks, inner_n = self.inner._spec_round(draft0)
+        self._fresh = False
         chain: List[int] = list(inner_toks)
         self.inner_accept_lengths.append(inner_n)
 
-        # 2. keep drafting with inner EAGLE rounds until the chain is long
-        #    enough (hier_ea...cuh:525-585 while cur_draft_length < min)
+        # keep drafting with inner EAGLE rounds until the chain is long
+        # enough (hier_ea...cuh:525-585 while cur_draft_length < min)
         while len(chain) < self.min_draft_length:
             t, n = self.inner._spec_round(chain[-1])
             self.inner_accept_lengths.append(n)
             chain.extend(t)
         chain = chain[: self.max_chain]
 
-        # 3. big-model sequential verify of [root] + chain
+        # big-model sequential verify of [root] + chain
         padded = np.zeros((self.max_chain + 1,), np.int32)
         padded[0] = draft0
         padded[1 : 1 + len(chain)] = chain
@@ -227,11 +367,11 @@ class HierSpecEngine(Engine):
         n = int(accept_len)
         self.host_len += n
 
-        # 4. draft-model rollback: the draft cache holds
-        #    [prompt | root@d_start | chain[0..] ] — keep the root plus the
-        #    n-1 outer-accepted drafted tokens (= d_start + n rows); the
-        #    bonus token stays pending (its row is written by the next
-        #    round's spec_step tree decode, see hier_catchup)
+        # draft-model rollback: the draft cache holds
+        # [prompt | root@d_start | chain[0..] ] — keep the root plus the
+        # n-1 outer-accepted drafted tokens (= d_start + n rows); the bonus
+        # token stays pending (its row is written by the next round's
+        # tree decode, see hier_catchup)
         dlen = d_start + n
         self.inner.cache = self.inner.cache.with_length(dlen)
         self.inner.host_len = dlen
