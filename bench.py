@@ -93,10 +93,12 @@ def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2"):
     if spec_type == "chain":
         from cpmcu_tpu.engine.chain_engine import ChainSpecEngine
 
+        # the reference's SpecMQuant pairing quantizes the chain drafter too
+        # (spec_quant/spec_w4a16_gm.cuh); draft lm_head stays dense
         draft_cfg = dataclasses.replace(
-            cfg, num_layers=max(2, cfg.num_layers // 8), quant=False
+            cfg, num_layers=max(2, cfg.num_layers // 8), quant_lmhead=False
         )
-        dparams = llama.init_params(draft_cfg, jax.random.PRNGKey(1))
+        dparams = make_params(draft_cfg, jax.random.PRNGKey(1))
         engine = ChainSpecEngine(cfg, draft_cfg, eng, params, dparams)
     elif spec_type == "eagle3":
         from cpmcu_tpu.engine.eagle3_engine import Eagle3Engine
@@ -119,12 +121,14 @@ def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2"):
 
         # hier: EAGLE drafts for a small dense draft model which chains for
         # the quantized base (the reference's 0.5B-draft + 8B-base pairing)
+        # reference hier headline = hier_ea_w4a16_gm_spec_w4a16_gm: BOTH the
+        # chain draft model and its eagle drafter are W4A16
         draft_cfg = dataclasses.replace(
             cfg, num_layers=max(2, cfg.num_layers // 8),
             hidden_size=1024, intermediate_size=4096, num_heads=16,
-            head_dim=64, quant=False, quant_lmhead=False,
+            head_dim=64, quant_lmhead=False,
         )
-        dparams = llama.init_params(draft_cfg, jax.random.PRNGKey(1))
+        dparams = make_params(draft_cfg, jax.random.PRNGKey(1))
         ecfg = EagleConfig(
             model=dataclasses.replace(draft_cfg, num_layers=1),
             num_iter=2, topk_per_iter=10, tree_size=12,
@@ -140,7 +144,9 @@ def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2"):
         from cpmcu_tpu.engine.spec_engine import SpecEngine
         from cpmcu_tpu.spec.eagle import EagleConfig, init_eagle_params
 
-        draft_cfg = dataclasses.replace(cfg, num_layers=1, quant=False)
+        # W4A16 drafter layers, like the reference headline's eagle.w4a16_gm
+        # (fc and the FR head stay dense, mirroring its fp16 eagle.fc/head)
+        draft_cfg = dataclasses.replace(cfg, num_layers=1, quant_lmhead=False)
         vfr = 32768  # FR-Spec sub-vocabulary, like the reference headline
         ecfg = EagleConfig(
             model=draft_cfg, num_iter=2, topk_per_iter=10, tree_size=12,
@@ -259,7 +265,10 @@ def main():
     if args.quant:
         cfg = dataclasses.replace(cfg, quant=True,
                                   quant_lmhead=args.quant_lmhead)
+    # round UP to the cache's 512 granularity (SparseKVCache.create rounds
+    # DOWN, which would swallow the generation slack at exact-page prompts)
     per_seq = max(2048, args.prompt_len + args.steps + 256)
+    per_seq = (per_seq + 511) // 512 * 512
     # batch mode splits the budget across slots
     max_len = args.max_len or per_seq * max(args.batch, 1)
     eng = EngineConfig(chunk_length=args.chunk_len, max_total_length=max_len)

@@ -52,18 +52,17 @@ def quantize_params(params: dict, cfg: ModelConfig) -> dict:
     return out
 
 
-def init_params_quant(cfg: ModelConfig, key) -> dict:
-    """Synthetic W4A16 params straight in packed form (benchmarks only —
-    avoids staging the fp32 model on host). Values are plausible-scale
-    random weights; logits are meaningless but finite."""
+def init_layers_quant(cfg: ModelConfig, key) -> dict:
+    """Synthetic stacked W4A16 decoder layers in packed form (no embed /
+    final norm / lm_head — also used for quantized drafter layers, matching
+    the reference's W4A16 eagle/draft models, e.g.
+    src/model/eagle_quant/eagle_base_quant.cuh)."""
     import jax
-
-    from ..models import llama
 
     L, H, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
     Hq, Hkv = cfg.q_size, cfg.kv_size
     dt = cfg.jnp_dtype
-    ks = iter(jax.random.split(key, 24))
+    ks = iter(jax.random.split(key, 16))
 
     def pack(shape_kn):
         K, N = shape_kn
@@ -71,7 +70,6 @@ def init_params_quant(cfg: ModelConfig, key) -> dict:
         s = jnp.full((L, K // GROUP_SIZE, N), 0.02 / np.sqrt(K), SCALE_DTYPE)
         return {"q": q, "s": s}
 
-    embed = (jax.random.normal(next(ks), (cfg.vocab_size, H), jnp.float32) * 0.02).astype(dt)
     layers = {
         "attn_norm": jnp.ones((L, H), dt),
         "ffn_norm": jnp.ones((L, H), dt),
@@ -86,6 +84,22 @@ def init_params_quant(cfg: ModelConfig, key) -> dict:
     if cfg.use_qk_norm:
         layers["q_norm"] = jnp.ones((L, cfg.head_dim), dt)
         layers["k_norm"] = jnp.ones((L, cfg.head_dim), dt)
+    return layers
+
+
+def init_params_quant(cfg: ModelConfig, key) -> dict:
+    """Synthetic W4A16 params straight in packed form (benchmarks only —
+    avoids staging the fp32 model on host). Values are plausible-scale
+    random weights; logits are meaningless but finite."""
+    import jax
+
+    H = cfg.hidden_size
+    dt = cfg.jnp_dtype
+    k_layers, k_embed, k_head = jax.random.split(key, 3)
+    ks = iter(jax.random.split(k_head, 4))
+
+    embed = (jax.random.normal(k_embed, (cfg.vocab_size, H), jnp.float32) * 0.02).astype(dt)
+    layers = init_layers_quant(cfg, k_layers)
     if cfg.quant_lmhead:
         Vp = -(-cfg.vocab_size // 2048) * 2048  # kernel-tile-padded vocab
         q = jax.random.randint(next(ks), (H // 8, Vp), -(2**31), 2**31 - 1,

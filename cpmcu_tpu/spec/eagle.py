@@ -95,11 +95,20 @@ def init_eagle_params(ecfg: EagleConfig, key, scale: float = 0.02) -> dict:
     def w(k, shape):
         return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
 
-    base = llama.init_params(m, next(ks), scale)
+    if m.quant:
+        # W4A16 drafter decoder layers (the reference headline quantizes
+        # the eagle drafter too: src/model/eagle_quant/, entry.cu
+        # eagle_base_quant). fc1/fc2 and the (FR) head stay dense, like the
+        # reference's fp16 eagle.fc/lm_head.
+        from ..models.quantize import init_layers_quant
+
+        layers = init_layers_quant(m, next(ks))
+    else:
+        layers = llama.init_params(m, next(ks), scale)["layers"]
     p = {
         "fc1": {"w": w(next(ks), (H, H)), "b": jnp.zeros((H,), dt)},
         "fc2": {"w": w(next(ks), (H, H))},
-        "layers": base["layers"],
+        "layers": layers,
     }
     if ecfg.use_input_norm:
         p["input_norm1"] = jnp.ones((H,), dt)

@@ -74,7 +74,8 @@ def build_engine(args):
         from ..spec.eagle import EagleConfig, init_eagle_params
 
         params = init_params_quant(cfg, jax.random.PRNGKey(0))
-        draft_cfg = dataclasses.replace(cfg, num_layers=1, quant=False,
+        # W4A16 drafter layers (reference headline eagle.w4a16_gm)
+        draft_cfg = dataclasses.replace(cfg, num_layers=1,
                                         quant_lmhead=False)
         ecfg = EagleConfig(model=draft_cfg, num_iter=2, topk_per_iter=10,
                            tree_size=12, window=1024, use_input_norm=True,

@@ -138,6 +138,33 @@ def test_spec_frspec_lossless(tiny_pair):
     assert out_tokens == ref_tokens
 
 
+def test_spec_quant_drafter_lossless():
+    """W4A16 drafter layers (the reference headline's eagle.w4a16_gm,
+    src/model/eagle_quant/) keep greedy spec lossless — verification only
+    depends on the base model."""
+    cfg = ModelConfig(
+        vocab_size=256, num_layers=2, hidden_size=1024,
+        intermediate_size=1024, num_heads=8, num_kv_heads=2, head_dim=128,
+        rope=RopeConfig(), dtype="float32",
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    draft_cfg = dataclasses.replace(cfg, num_layers=1, quant=True)
+    ecfg = EagleConfig(model=draft_cfg, num_iter=2, topk_per_iter=4,
+                       tree_size=6)
+    eparams = init_eagle_params(ecfg, jax.random.PRNGKey(7))
+    assert "q" in eparams["layers"]["wq"]  # packed, not dense
+
+    eng = EngineConfig(chunk_length=8, max_total_length=128)
+    prompt = [3, 14, 15, 9, 26]
+    ref_tokens, _, _ = Engine(cfg, eng, params, attn_impl="xla").generate(
+        prompt, generation_length=12
+    )
+    spec = SpecEngine(cfg, ecfg, eng, params, eparams, attn_impl="xla")
+    out_tokens, _, _ = spec.generate(prompt, generation_length=12)
+    assert out_tokens == ref_tokens
+    assert all(a >= 1 for a in spec.accept_lengths)
+
+
 def test_spec_long_multi_chunk_prefill(tiny_pair):
     """Prompt spanning several chunks exercises the drafter prefill lag."""
     cfg, draft_cfg, params = tiny_pair
