@@ -81,7 +81,8 @@ def bench_decode(cfg, eng, steps=64, warmup=8, prompt_len=128):
     }
 
 
-def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2"):
+def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2",
+               quant_draft_head=False):
     """Spec-mode throughput. With random weights the drafter is uninformed
     (accept ~1) — this measures per-round overhead, a lower bound; real
     checkpoints reach ~2.5 accept (BASELINE.md)."""
@@ -156,11 +157,23 @@ def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2"):
         eparams = init_eagle_params(ecfg, jax.random.PRNGKey(1))
         H = cfg.hidden_size
         k = jax.random.PRNGKey(2)
-        eparams["lm_head"] = {
-            "w": (jax.random.normal(k, (H, vfr), jnp.float32) * 0.02).astype(
-                cfg.jnp_dtype
-            )
-        }
+        if quant_draft_head:
+            # W4 FR head (HBM: 268MB bf16 -> 67MB, read num_iter x/round);
+            # parity-affecting for the DRAFTER only — verification keeps
+            # generation lossless either way
+            from cpmcu_tpu.ops.quant import GROUP_SIZE, SCALE_DTYPE
+
+            eparams["lm_head"] = {
+                "q": jax.random.randint(k, (H // 8, vfr), -(2**31),
+                                        2**31 - 1, jnp.int32),
+                "s": jnp.full((H // GROUP_SIZE, vfr), 0.02 / H**0.5,
+                              SCALE_DTYPE),
+            }
+        else:
+            eparams["lm_head"] = {
+                "w": (jax.random.normal(k, (H, vfr), jnp.float32) * 0.02
+                      ).astype(cfg.jnp_dtype)
+            }
         eparams["token_id_remap"] = jnp.arange(vfr, dtype=jnp.int32)
         engine = SpecEngine(cfg, ecfg, eng, params, eparams)
 
@@ -248,6 +261,8 @@ def main():
                     "W4 head is the default — logits delta bounded by "
                     "tools/logits_parity.py)")
     ap.add_argument("--spec", action="store_true", help="speculative decoding")
+    ap.add_argument("--quant-draft-head", action="store_true",
+                    help="W4 FR-Spec draft head (eagle2 only)")
     ap.add_argument("--spec-type", default="eagle2",
                     choices=["eagle2", "chain", "eagle3", "hier"])
     ap.add_argument("--sparse", action="store_true", help="InfLLM-v2 long context")
@@ -285,7 +300,8 @@ def main():
             # EAGLE/FR-Spec at long context (README.md:93-105)
             cfg = dataclasses.replace(cfg, apply_sparse=True)
             r = bench_spec(cfg, eng, steps=args.steps, prompt_len=args.prompt_len,
-                           spec_type=args.spec_type)
+                           spec_type=args.spec_type,
+                           quant_draft_head=args.quant_draft_head)
             extra["mean_accept_length"] = round(r["mean_accept"], 3)
             mode = f"sparse-{args.prompt_len}ctx-{args.spec_type}-spec"
         elif args.sparse:
@@ -293,7 +309,8 @@ def main():
             mode = f"sparse-{args.prompt_len}ctx"
         elif args.spec:
             r = bench_spec(cfg, eng, steps=args.steps, prompt_len=args.prompt_len,
-                           spec_type=args.spec_type)
+                           spec_type=args.spec_type,
+                           quant_draft_head=args.quant_draft_head)
             extra["mean_accept_length"] = round(r["mean_accept"], 3)
             mode = f"{args.spec_type}-spec"
         else:

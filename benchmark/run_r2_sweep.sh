@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-2 TPU measurement sweep: one mode at a time (concurrent clients
+# contend on the single tunneled chip and distort timings). Appends one
+# JSON line per mode to benchmark/results/r2_sweep.jsonl.
+# Usage: bash benchmark/run_r2_sweep.sh [outfile]
+set -u
+cd "$(dirname "$0")/.."
+OUT="${1:-benchmark/results/r2_sweep.jsonl}"
+mkdir -p "$(dirname "$OUT")"
+
+run() {
+  local name="$1"; shift
+  echo "=== $name: $* (
+$(date +%H:%M:%S))" >&2
+  local line
+  line=$(timeout 1400 "$@" 2>/dev/null | tail -1)
+  if [ -n "$line" ]; then
+    echo "{\"mode\": \"$name\", \"result\": $line}" >> "$OUT"
+    echo "$name -> $line" >&2
+  else
+    echo "{\"mode\": \"$name\", \"result\": null}" >> "$OUT"
+    echo "$name -> FAILED/TIMEOUT" >&2
+  fi
+}
+
+run dense        python bench.py --steps 64
+run spec_eagle2  python bench.py --spec --steps 64
+run sparse_spec  python bench.py --sparse --spec --prompt-len 32768 --steps 64
+run spec_chain   python bench.py --spec --spec-type chain --steps 64
+run spec_eagle3  python bench.py --spec --spec-type eagle3 --steps 64
+run spec_hier    python bench.py --spec --spec-type hier --steps 32
+run sparse_32k   python bench.py --sparse --prompt-len 32768 --steps 64
+run batch_8      python bench.py --batch 8 --steps 64
+echo "sweep done: $OUT" >&2

@@ -154,7 +154,7 @@ def chain_spec_segment(
         new_prev = jnp.where(jnp.arange(S, dtype=jnp.int32) < alen, emitted, 0)
         return (cache, dcache, new_prev, alen, nxt, key), (emitted, alen)
 
-    (cache, dcache, _, _, _, key), (emitted, alens) = jax.lax.scan(
+    (cache, dcache, prev, nprev, root, key), (emitted, alens) = jax.lax.scan(
         body, (cache, dcache, prev_tokens, num_prev, draft0, key),
         None, length=k,
     )
@@ -162,7 +162,8 @@ def chain_spec_segment(
         from ..cache.sparse_kv import compress_span
 
         cache = compress_span(cache, base_len, max_new=k * (num_iter + 1))
-    return emitted, alens, cache, dcache, key
+    # (prev, nprev, root) = next segment's inputs ON DEVICE (pipelining)
+    return emitted, alens, cache, dcache, (prev, nprev, root), key
 
 
 class ChainSpecEngine(Engine):
@@ -255,6 +256,7 @@ class ChainSpecEngine(Engine):
         self._prev_tokens = np.zeros((self.num_iter + 1,), np.int32)
         self._prev_tokens[:n] = toks
         self._num_prev = n
+        self._chain_dev = None  # host mirror is now the source of truth
         return toks, n
 
     def _round_rows(self) -> int:
@@ -263,42 +265,57 @@ class ChainSpecEngine(Engine):
     def _segment_ready(self) -> bool:
         return self._num_prev > 0
 
-    def _spec_rounds(self, draft0: int, k: int):
-        """K fused chain rounds, one host sync (chain_spec_segment)."""
-        prev = np.asarray(self._prev_tokens, np.int32)
-        emitted, alens, self.cache, self.dcache, self.key = chain_spec_segment(
-            self.cfg, self.draft_cfg, self.params, self.dparams,
-            self.rope, self.drope, self.cache, self.dcache,
-            jnp.asarray(prev), jnp.asarray(self._num_prev, jnp.int32),
-            jnp.asarray(draft0, jnp.int32), self.key,
-            k=k, num_iter=self.num_iter,
-            temperature=self.eng.temperature,
-            top_k=self.eng.top_k,
-            top_p=self.eng.top_p,
-            attn_impl=self.attn_impl,
-            sparse_select=self.sparse_engaged(),
+    def _dispatch_rounds(self, root, k: int):
+        """Dispatch one fused K-round segment without fetching (pipelined
+        segments — see spec_engine.SpecEngine._dispatch_rounds). The chain
+        drafter's (prev_tokens, num_prev, root) inputs chain on device."""
+        if getattr(self, "_chain_dev", None) is not None and root is None:
+            prev, nprev, root_in = self._chain_dev
+        else:
+            prev = jnp.asarray(np.asarray(self._prev_tokens, np.int32))
+            nprev = jnp.asarray(self._num_prev, jnp.int32)
+            root_in = jnp.asarray(root, jnp.int32)
+        emitted, alens, self.cache, self.dcache, chain_dev, self.key = (
+            chain_spec_segment(
+                self.cfg, self.draft_cfg, self.params, self.dparams,
+                self.rope, self.drope, self.cache, self.dcache,
+                prev, nprev, root_in, self.key,
+                k=k, num_iter=self.num_iter,
+                temperature=self.eng.temperature,
+                top_k=self.eng.top_k,
+                top_p=self.eng.top_p,
+                attn_impl=self.attn_impl,
+                sparse_select=self.sparse_engaged(),
+            )
         )
-        packed = np.asarray(
-            jnp.concatenate([emitted, alens[:, None].astype(emitted.dtype)],
-                            axis=1)
-        )  # one device->host transfer (tunnel RTT per fetch otherwise)
-        emitted, alens = packed[:, :-1], packed[:, -1]
+        self._chain_dev = chain_dev
+        self._root_dev = None  # sentinel: _dispatch_rounds(None) chains
         self.last_path_logits = None  # segment mode skips the parity rows
-        rounds = []
-        for r in range(k):
-            n = int(alens[r])
-            self.host_len += n
-            rounds.append((emitted[r, :n].tolist(), n))
+        packed = jnp.concatenate(
+            [emitted, alens[:, None].astype(emitted.dtype)], axis=1
+        )
+        return packed, k
+
+    def _consume_rounds(self, handle):
+        from .spec_engine import SpecEngine as _S
+
+        rounds = _S._consume_rounds(self, handle)
+        # keep the host mirror current for the per-round fallback path
         toks, n = rounds[-1]
         self._prev_tokens = np.zeros((self.num_iter + 1,), np.int32)
         self._prev_tokens[:n] = toks
         self._num_prev = n
         return rounds
 
+    def _spec_rounds(self, draft0: int, k: int):
+        """K fused chain rounds, one blocking host sync."""
+        return self._consume_rounds(self._dispatch_rounds(draft0, k))
+
     # streaming loop shared with SpecEngine
     from .spec_engine import SpecEngine as _S
 
     _generate_stream = _S._generate_stream
+    _inflight_rounds = _S._inflight_rounds
     mean_accept_length = _S.mean_accept_length
 
     def reset(self):
@@ -307,3 +324,6 @@ class ChainSpecEngine(Engine):
         self.accept_lengths = []
         self._prev_tokens = np.zeros((self.num_iter + 1,), np.int32)
         self._num_prev = 0
+        self._chain_dev = None
+        self._root_dev = None
+        self._inflight = 0

@@ -223,14 +223,15 @@ def e3_segment(
         nxt = emitted[jnp.clip(alen - 1, 0, emitted.shape[0] - 1)]
         return (cache, estate, nxt, key), (emitted, alen)
 
-    (cache, estate, _, key), (emitted, alens) = jax.lax.scan(
+    (cache, estate, root, key), (emitted, alens) = jax.lax.scan(
         body, (cache, estate, draft0, key), None, length=k
     )
     if hasattr(cache, "c1"):
         from ..cache.sparse_kv import compress_span
 
         cache = compress_span(cache, base_len, max_new=k * ecfg.tree_size)
-    return emitted, alens, cache, estate, key
+    # root = next segment's draft0 ON DEVICE (pipelined segments)
+    return emitted, alens, cache, estate, root, key
 
 
 class Eagle3Engine(Engine):
@@ -354,36 +355,39 @@ class Eagle3Engine(Engine):
     def _segment_ready(self) -> bool:
         return self.estate is not None
 
-    def _spec_rounds(self, draft0: int, k: int):
-        """K fused EAGLE-3 rounds, one host sync."""
-        emitted, alens, self.cache, self.estate, self.key = e3_segment(
-            self.cfg, self.ecfg, self.params, self.eparams, self.rope,
-            self.cache, self.estate,
-            jnp.asarray(draft0, jnp.int32), self.key,
-            k=k,
-            temperature=self.eng.temperature,
-            top_k=self.eng.top_k,
-            top_p=self.eng.top_p,
-            attn_impl=self.attn_impl,
-            sparse_select=self.sparse_engaged(),
+    def _dispatch_rounds(self, root, k: int):
+        """Dispatch one fused K-round segment without fetching (pipelined
+        segments — see spec_engine.SpecEngine._dispatch_rounds)."""
+        emitted, alens, self.cache, self.estate, root_out, self.key = (
+            e3_segment(
+                self.cfg, self.ecfg, self.params, self.eparams, self.rope,
+                self.cache, self.estate,
+                jnp.asarray(root, jnp.int32), self.key,
+                k=k,
+                temperature=self.eng.temperature,
+                top_k=self.eng.top_k,
+                top_p=self.eng.top_p,
+                attn_impl=self.attn_impl,
+                sparse_select=self.sparse_engaged(),
+            )
         )
-        packed = np.asarray(
-            jnp.concatenate([emitted, alens[:, None].astype(emitted.dtype)],
-                            axis=1)
-        )  # one device->host transfer
-        emitted, alens = packed[:, :-1], packed[:, -1]
+        self._root_dev = root_out
         self.last_path_logits = None  # segment mode skips the parity rows
-        rounds = []
-        for r in range(k):
-            n = int(alens[r])
-            self.host_len += n
-            rounds.append((emitted[r, :n].tolist(), n))
-        return rounds
+        packed = jnp.concatenate(
+            [emitted, alens[:, None].astype(emitted.dtype)], axis=1
+        )
+        return packed, k
+
+    def _spec_rounds(self, draft0: int, k: int):
+        """K fused EAGLE-3 rounds, one blocking host sync."""
+        return self._consume_rounds(self._dispatch_rounds(draft0, k))
 
     # streaming loop shared with SpecEngine
     from .spec_engine import SpecEngine as _S
 
     _generate_stream = _S._generate_stream
+    _consume_rounds = _S._consume_rounds
+    _inflight_rounds = _S._inflight_rounds
     mean_accept_length = _S.mean_accept_length
 
     def reset(self):
@@ -393,3 +397,5 @@ class Eagle3Engine(Engine):
         self.estate = None
         self._reset_pending(self.eng.chunk_length, self.cfg.hidden_size)
         self.accept_lengths = []
+        self._root_dev = None
+        self._inflight = 0

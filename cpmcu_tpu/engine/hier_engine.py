@@ -290,7 +290,10 @@ class HierSpecEngine(Engine):
     def _spec_round(self, draft0: int):
         ecfg = self.inner.ecfg
         dcfg = self.inner.cfg
-        d_start = int(self.inner.cache.length)  # rollback base
+        # rollback base: the host mirror (inner.host_len) tracks the inner
+        # cache length exactly — int(self.inner.cache.length) would BLOCK on
+        # the previous fused round's device completion (one tunnel RTT/round)
+        d_start = int(self.inner.host_len)
 
         if self._fresh:
             # the inner engine's prefill-lag state must flush first

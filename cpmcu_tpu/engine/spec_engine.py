@@ -231,7 +231,9 @@ def spec_segment(
     of engine.decode_segment): host syncs once per K rounds instead of per
     round — on a tunneled device the accept-length readback RTT otherwise
     dominates the step time. Returns (emitted (k, S), accept_lens (k,),
-    cache, estate, key)."""
+    cache, estate, root, key) where ``root`` is the next segment's draft0
+    ON DEVICE — the host can dispatch segment N+1 before fetching segment
+    N's results (pipelined segments hide the readback RTT entirely)."""
 
     base_len = cache.length
 
@@ -246,7 +248,7 @@ def spec_segment(
         nxt = emitted[jnp.clip(alen - 1, 0, emitted.shape[0] - 1)]
         return (cache, estate, nxt, key), (emitted, alen)
 
-    (cache, estate, _, key), (emitted, alens) = jax.lax.scan(
+    (cache, estate, root, key), (emitted, alens) = jax.lax.scan(
         body, (cache, estate, draft0, key), None, length=k
     )
     if hasattr(cache, "c1"):
@@ -255,7 +257,7 @@ def spec_segment(
         from ..cache.sparse_kv import compress_span
 
         cache = compress_span(cache, base_len, max_new=k * ecfg.tree_size)
-    return emitted, alens, cache, estate, key
+    return emitted, alens, cache, estate, root, key
 
 
 class SpecEngine(Engine):
@@ -396,30 +398,45 @@ class SpecEngine(Engine):
         guard in _generate_stream)."""
         return self.ecfg.tree_size
 
-    def _spec_rounds(self, draft0: int, k: int):
-        """K fused spec rounds, ONE host sync (spec_segment). Requires a
-        live estate (i.e. not the first round after prefill)."""
+    def _dispatch_rounds(self, root, k: int):
+        """Dispatch one fused K-round segment WITHOUT fetching results.
+
+        ``root`` is a host int (first segment after a per-round step) or the
+        device scalar returned by the previous dispatch — chaining roots on
+        device lets the host dispatch segment N+1 before reading segment N,
+        so the packed-readback tunnel RTT overlaps segment N+1's execution.
+        Returns an opaque handle for ``_consume_rounds``."""
         S = self.ecfg.tree_size
-        margin = k * S + self.ecfg.topk_per_iter * self.ecfg.num_iter + 8
-        emitted, alens, self.cache, self.estate, self.key = spec_segment(
-            self.cfg, self.ecfg, self.params, self.eparams, self.rope,
-            self.cache, self.estate,
-            jnp.asarray(draft0, jnp.int32), self.key,
-            k=k,
-            temperature=self.eng.temperature,
-            top_k=self.eng.top_k,
-            top_p=self.eng.top_p,
-            attn_impl=self.attn_impl,
-            sparse_select=self.sparse_engaged(),
-            kv_span=self.kv_bucket(self.host_len + margin),
-            unroll=self.unroll_layers(S, self.host_len + margin),
+        # host_len may lag by one unfetched segment; the margin covers it
+        margin = (k + self._inflight_rounds()) * S \
+            + self.ecfg.topk_per_iter * self.ecfg.num_iter + 8
+        emitted, alens, self.cache, self.estate, root_out, self.key = (
+            spec_segment(
+                self.cfg, self.ecfg, self.params, self.eparams, self.rope,
+                self.cache, self.estate,
+                jnp.asarray(root, jnp.int32), self.key,
+                k=k,
+                temperature=self.eng.temperature,
+                top_k=self.eng.top_k,
+                top_p=self.eng.top_p,
+                attn_impl=self.attn_impl,
+                sparse_select=self.sparse_engaged(),
+                kv_span=self.kv_bucket(self.host_len + margin),
+                unroll=self.unroll_layers(S, self.host_len + margin),
+            )
         )
-        # ONE device->host transfer: separate fetches of emitted and alens
-        # each pay a full tunnel round trip (~8ms/round of host gap at k=12)
-        packed = np.asarray(
-            jnp.concatenate([emitted, alens[:, None].astype(emitted.dtype)],
-                            axis=1)
+        self._root_dev = root_out
+        # ONE device->host transfer per segment: separate fetches of emitted
+        # and alens each pay a full tunnel round trip (~8ms/round at k=12)
+        packed = jnp.concatenate(
+            [emitted, alens[:, None].astype(emitted.dtype)], axis=1
         )
+        return packed, k
+
+    def _consume_rounds(self, handle):
+        """Fetch a dispatched segment's packed results; returns rounds."""
+        packed, k = handle
+        packed = np.asarray(packed)
         emitted, alens = packed[:, :-1], packed[:, -1]
         rounds = []
         for r in range(k):
@@ -427,6 +444,14 @@ class SpecEngine(Engine):
             self.host_len += n
             rounds.append((emitted[r, :n].tolist(), n))
         return rounds
+
+    def _inflight_rounds(self) -> int:
+        """Rounds dispatched but not yet consumed (host_len lag)."""
+        return getattr(self, "_inflight", 0)
+
+    def _spec_rounds(self, draft0: int, k: int):
+        """K fused spec rounds, ONE blocking host sync (spec_segment)."""
+        return self._consume_rounds(self._dispatch_rounds(draft0, k))
 
     def _generate_stream(self, input_ids, generation_length, terminators, progress_callback):
         terminators = set(int(t) for t in terminators)
@@ -454,9 +479,38 @@ class SpecEngine(Engine):
         draft0 = token
         seg = max(1, getattr(self.eng, "spec_segment_size", 1))
         first = True
+        pend = None  # dispatched-but-unfetched segment handle
+        done = False
+
+        def emit(rounds):
+            nonlocal emitted_count, draft0, done
+            for toks, n in rounds:
+                self.accept_lengths.append(n)
+                for j, t in enumerate(toks):
+                    fin = (
+                        t in terminators or emitted_count + 1 >= generation_length
+                    )
+                    yield item(t, fin, n if j == 0 else 0)
+                    emitted_count += 1
+                    if fin:
+                        # discard overshoot rounds (including a possibly
+                        # still-inflight next segment): keep exactly the
+                        # rows behind the emitted tokens (rows past length
+                        # are lazily overwritten, cache/kv.py semantics; an
+                        # inflight segment only touches rows at/after the
+                        # previous segment's tail, all >= kept). The last
+                        # emitted token's row is not written yet (it would
+                        # be the next round's root), hence -1.
+                        kept = len(input_ids) + emitted_count - 1
+                        self.cache = self.cache.with_length(kept)
+                        self.host_len = kept
+                        done = True
+                        return
+                draft0 = toks[-1]
+
         while True:
             # engines sharing this loop without a fused-segment step
-            # (eagle3/chain/hier) run one jitted round per sync
+            # (hier) run one jitted round per sync
             can_segment = (
                 not first
                 and seg > 1
@@ -466,41 +520,50 @@ class SpecEngine(Engine):
             # capacity guard: a round writes _round_rows() rows at the cache
             # tail; past capacity the compact() dynamic_update_slice would
             # clamp backwards and overwrite committed rows (cache/kv.py) —
-            # stop generating instead (ADVICE.md round-1)
+            # stop generating instead (ADVICE.md round-1). host_len lags by
+            # any unfetched inflight segment, hence self._inflight.
             rows = self._round_rows()
             cap = self.cache.max_length
-            if can_segment and self.host_len + seg * rows > cap:
+            inflight = self._inflight * rows if pend is not None else 0
+            if can_segment and self.host_len + inflight + seg * rows > cap:
                 can_segment = False
-            if self.host_len + rows > cap:
-                return
             if not can_segment:
-                rounds = [self._spec_round(draft0)]
-                first = False
-            else:
-                # always run FULL segments: k is a static arg, so a
-                # need-clipped tail segment would compile a fresh program
-                # mid-generation (observed: one ~60s compile dwarfing the
-                # whole decode). Overshoot rounds are rolled back below.
-                rounds = self._spec_rounds(draft0, seg)
-            for toks, n in rounds:
-                self.accept_lengths.append(n)
-                for j, t in enumerate(toks):
-                    finished = (
-                        t in terminators or emitted_count + 1 >= generation_length
-                    )
-                    yield item(t, finished, n if j == 0 else 0)
-                    emitted_count += 1
-                    if finished:
-                        # discard overshoot rounds: keep exactly the rows
-                        # behind the emitted tokens (rows past length are
-                        # lazily overwritten, cache/kv.py semantics). The
-                        # last emitted token's row is not written yet (it
-                        # would be the next round's root), hence -1.
-                        kept = len(input_ids) + emitted_count - 1
-                        self.cache = self.cache.with_length(kept)
-                        self.host_len = kept
+                if pend is not None:
+                    # drain the pipeline before leaving segment mode
+                    rounds = self._consume_rounds(pend)
+                    pend = None
+                    self._inflight = 0
+                    yield from emit(rounds)
+                    if done:
                         return
-                draft0 = toks[-1]
+                    continue
+                if self.host_len + rows > cap:
+                    return
+                yield from emit([self._spec_round(draft0)])
+                first = False
+                if done:
+                    return
+                continue
+            # always run FULL segments: k is a static arg, so a
+            # need-clipped tail segment would compile a fresh program
+            # mid-generation (observed: one ~60s compile dwarfing the
+            # whole decode). Overshoot rounds are rolled back in emit().
+            if hasattr(self, "_dispatch_rounds"):
+                # pipelined: dispatch segment N+1 (root chained on device)
+                # BEFORE fetching segment N — the packed-readback tunnel
+                # RTT overlaps segment N+1's device execution
+                root = draft0 if pend is None else self._root_dev
+                nxt = self._dispatch_rounds(root, seg)
+                rounds = self._consume_rounds(pend) if pend is not None else []
+                pend = nxt
+                self._inflight = seg
+                yield from emit(rounds)
+                if done:
+                    return
+            else:
+                yield from emit(self._spec_rounds(draft0, seg))
+                if done:
+                    return
 
     def mean_accept_length(self) -> float:
         return float(np.mean(self.accept_lengths)) if self.accept_lengths else 0.0
@@ -514,3 +577,5 @@ class SpecEngine(Engine):
         self.estate = None
         self._reset_pending(self.eng.chunk_length, self.cfg.hidden_size)
         self.accept_lengths = []
+        self._root_dev = None
+        self._inflight = 0

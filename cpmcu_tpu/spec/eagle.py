@@ -193,8 +193,13 @@ def eagle_layers(
 def draft_logits(ecfg: EagleConfig, ep: dict, base_params: dict, base_cfg: ModelConfig, h):
     """Draft lm_head -> fp32 log-softmax over the (possibly FR) vocab."""
     if "lm_head" in ep:
-        # FR-Spec head: plain Linear, no lm_head scale (minicpm4_eagle.cuh:101)
+        # FR-Spec head: plain Linear, no lm_head scale (minicpm4_eagle.cuh:101).
+        # A W4 pack ({'q','s'}, ops.quant.pack_weights_padded) dispatches
+        # through the quant kernel; its N padding is sliced back here so the
+        # zero-logit pad columns can't win the draft top-k.
         logits = linear(ep["lm_head"], h).astype(jnp.float32)
+        if ecfg.frspec_vocab_size and logits.shape[-1] > ecfg.frspec_vocab_size:
+            logits = logits[..., : ecfg.frspec_vocab_size]
     else:
         from ..layers.modules import lm_head
 

@@ -74,3 +74,22 @@ def test_sharded_chain_engine_matches_unsharded(setup):
                               attn_impl="xla", mesh=mesh)
     got, _, _ = sharded.generate([1, 2, 3, 4, 5], generation_length=10)
     assert got == want
+
+
+def test_chain_pipelined_segments_lossless(setup):
+    """Multiple pipelined segments (device-chained drafter inputs) +
+    drain-before-capacity + overshoot rollback must stay lossless."""
+    cfg, params, draft_cfg, dparams = setup
+    eng = EngineConfig(chunk_length=8, max_total_length=256,
+                       spec_num_iter=3, spec_segment_size=2)
+
+    plain = Engine(cfg, eng, params, attn_impl="xla")
+    want, _, _ = plain.generate([1, 2, 3, 4, 5], generation_length=40)
+
+    spec = ChainSpecEngine(cfg, draft_cfg, eng, params, dparams,
+                           attn_impl="xla")
+    got, _, _ = spec.generate([1, 2, 3, 4, 5], generation_length=40)
+    assert got == want
+    spec.reset()
+    again, _, _ = spec.generate([1, 2, 3, 4, 5], generation_length=40)
+    assert again == want

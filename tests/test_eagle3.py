@@ -174,3 +174,17 @@ def test_sharded_eagle3_matches_unsharded(setup):
                            mesh=mesh)
     got, _, _ = sharded.generate([5, 6, 7, 8], generation_length=10)
     assert got == want
+
+
+def test_eagle3_pipelined_segments_lossless(setup):
+    """Multiple pipelined segments (device-chained root) stay lossless."""
+    cfg, params, ecfg, eparams = setup
+    eng = EngineConfig(chunk_length=8, max_total_length=256,
+                       spec_segment_size=2)
+
+    plain = Engine(cfg, eng, params, attn_impl="xla")
+    want, _, _ = plain.generate([1, 2, 3, 4, 5], generation_length=32)
+
+    spec = Eagle3Engine(cfg, ecfg, eng, params, eparams, attn_impl="xla")
+    got, _, _ = spec.generate([1, 2, 3, 4, 5], generation_length=32)
+    assert got == want

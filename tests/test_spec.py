@@ -282,3 +282,35 @@ def test_sharded_spec_engine_matches_unsharded(tiny_pair):
                          mesh=mesh)
     got, _, _ = sharded.generate(prompt, generation_length=12)
     assert got == want
+
+
+def test_frspec_packed_head_pad_sliced():
+    """A W4 FR head packed with pack_weights_padded (N padded to 2048) must
+    have its pad columns sliced out of draft_logits — zero-logit pad columns
+    would otherwise win the draft top-k."""
+    from cpmcu_tpu.ops.quant import dequantize, pack_weights_padded
+
+    H, vfr = 1024, 32
+    cfg = ModelConfig(
+        vocab_size=256, num_layers=1, hidden_size=H, intermediate_size=1024,
+        num_heads=8, num_kv_heads=2, head_dim=128, rope=RopeConfig(),
+        dtype="float32",
+    )
+    ecfg = EagleConfig(model=cfg, num_iter=2, topk_per_iter=4, tree_size=6,
+                       frspec_vocab_size=vfr)
+    rng = np.random.default_rng(0)
+    w = rng.normal(0, 0.2, size=(H, vfr)).astype(np.float32)
+    pack = pack_weights_padded(w)
+    assert pack["q"].shape[-1] >= 2048  # really padded
+
+    from cpmcu_tpu.spec.eagle import draft_logits
+
+    ep = {"lm_head": pack}
+    h = jnp.asarray(rng.normal(0, 1, size=(3, H)), jnp.float32)
+    got = np.asarray(draft_logits(ecfg, ep, {}, cfg, h))
+    assert got.shape == (3, vfr)
+
+    wq = np.asarray(dequantize(pack["q"], pack["s"]))[:, :vfr]
+    want = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(h @ wq, jnp.float32), axis=-1))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
