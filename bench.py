@@ -81,11 +81,58 @@ def bench_decode(cfg, eng, steps=64, warmup=8, prompt_len=128):
     }
 
 
+def _oracle_spec_pair(cfg, ecfg):
+    """Base + EAGLE drafter whose greedy chains ALWAYS verify (the
+    tests/test_spec.py bigram-oracle fixture at benchmark scale): base
+    layers dequantize to exactly zero (nibble 8 == value 0), so logits are
+    a deterministic bigram map of the current token; the drafter (fc1=I,
+    zero layers, shared lm_head) reproduces the base argmax at every depth.
+    HBM traffic and compute are IDENTICAL to the random-weight config —
+    zero packs stream the same bytes — so the measured tok/s is the real
+    best-case endpoint (accept == num_iter+1 every round). Together with
+    the random-weight run (accept == 1) it brackets any real checkpoint's
+    accept rate (reference: ~2.5, BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cpmcu_tpu.models.quantize import init_params_quant
+    from cpmcu_tpu.spec.eagle import init_eagle_params
+
+    H, V = cfg.hidden_size, cfg.vocab_size
+    zero_word = np.int32(np.uint32(0x88888888).astype(np.int64) - (1 << 32))
+
+    def zero_layers(layers):
+        return {
+            k: ({**v, "q": jnp.full_like(v["q"], zero_word)}
+                if isinstance(v, dict) and "q" in v else v)
+            for k, v in layers.items()
+        }
+
+    params = init_params_quant(cfg, jax.random.PRNGKey(0))
+    params["layers"] = zero_layers(params["layers"])
+    eparams = init_eagle_params(ecfg, jax.random.PRNGKey(1))
+    if "q" in eparams["layers"].get("wq", {}):
+        eparams["layers"] = zero_layers(eparams["layers"])
+    else:
+        eparams["layers"] = jax.tree.map(
+            lambda x: jnp.zeros_like(x), eparams["layers"]
+        )
+    eparams["fc1"] = {"w": jnp.eye(H, dtype=cfg.jnp_dtype),
+                      "b": jnp.zeros((H,), cfg.jnp_dtype)}
+    eparams["fc2"] = {"w": jnp.zeros((H, H), cfg.jnp_dtype)}
+    # no FR head: draft_logits falls back to the base lm_head, which makes
+    # the drafter argmax-identical to the base by construction
+    eparams.pop("lm_head", None)
+    eparams.pop("token_id_remap", None)
+    return params, eparams
+
+
 def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2",
-               quant_draft_head=False):
+               quant_draft_head=False, oracle_accept=False):
     """Spec-mode throughput. With random weights the drafter is uninformed
     (accept ~1) — this measures per-round overhead, a lower bound; real
-    checkpoints reach ~2.5 accept (BASELINE.md)."""
+    checkpoints reach ~2.5 accept (BASELINE.md). ``oracle_accept`` (eagle2)
+    measures the accept == num_iter+1 best-case endpoint instead."""
     import jax
 
     from cpmcu_tpu.models import llama
@@ -148,12 +195,28 @@ def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2",
         # W4A16 drafter layers, like the reference headline's eagle.w4a16_gm
         # (fc and the FR head stay dense, mirroring its fp16 eagle.fc/head)
         draft_cfg = dataclasses.replace(cfg, num_layers=1, quant_lmhead=False)
-        vfr = 32768  # FR-Spec sub-vocabulary, like the reference headline
+        vfr = 0 if oracle_accept else 32768  # FR-Spec sub-vocab (headline)
         ecfg = EagleConfig(
             model=draft_cfg, num_iter=2, topk_per_iter=10, tree_size=12,
-            window=1024, use_input_norm=True, use_attn_norm=True,
-            frspec_vocab_size=vfr,
+            window=1024, use_input_norm=not oracle_accept,
+            use_attn_norm=True, frspec_vocab_size=vfr,
         )
+        if oracle_accept:
+            params, eparams = _oracle_spec_pair(cfg, ecfg)
+            engine = SpecEngine(cfg, ecfg, eng, params, eparams)
+            rng = np.random.default_rng(0)
+            ids = rng.integers(0, cfg.vocab_size, size=prompt_len).tolist()
+            engine.generate(ids, generation_length=8)  # warmup/compile
+            engine.reset()
+            toks, decode_time, prefill_time = engine.generate(
+                ids, generation_length=steps
+            )
+            n = len(toks)
+            return {
+                "decode_tok_s": (n - 1) / max(decode_time, 1e-9),
+                "prefill_tok_s": prompt_len / max(prefill_time, 1e-9),
+                "mean_accept": engine.mean_accept_length(),
+            }
         eparams = init_eagle_params(ecfg, jax.random.PRNGKey(1))
         H = cfg.hidden_size
         k = jax.random.PRNGKey(2)
@@ -263,6 +326,9 @@ def main():
     ap.add_argument("--spec", action="store_true", help="speculative decoding")
     ap.add_argument("--quant-draft-head", action="store_true",
                     help="W4 FR-Spec draft head (eagle2 only)")
+    ap.add_argument("--oracle-accept", action="store_true",
+                    help="oracle drafter: accept == num_iter+1 every round "
+                    "(best-case endpoint; eagle2 only)")
     ap.add_argument("--spec-type", default="eagle2",
                     choices=["eagle2", "chain", "eagle3", "hier"])
     ap.add_argument("--sparse", action="store_true", help="InfLLM-v2 long context")
@@ -301,7 +367,8 @@ def main():
             cfg = dataclasses.replace(cfg, apply_sparse=True)
             r = bench_spec(cfg, eng, steps=args.steps, prompt_len=args.prompt_len,
                            spec_type=args.spec_type,
-                           quant_draft_head=args.quant_draft_head)
+                           quant_draft_head=args.quant_draft_head,
+                           oracle_accept=args.oracle_accept)
             extra["mean_accept_length"] = round(r["mean_accept"], 3)
             mode = f"sparse-{args.prompt_len}ctx-{args.spec_type}-spec"
         elif args.sparse:
@@ -310,7 +377,8 @@ def main():
         elif args.spec:
             r = bench_spec(cfg, eng, steps=args.steps, prompt_len=args.prompt_len,
                            spec_type=args.spec_type,
-                           quant_draft_head=args.quant_draft_head)
+                           quant_draft_head=args.quant_draft_head,
+                           oracle_accept=args.oracle_accept)
             extra["mean_accept_length"] = round(r["mean_accept"], 3)
             mode = f"{args.spec_type}-spec"
         else:

@@ -314,3 +314,35 @@ def test_frspec_packed_head_pad_sliced():
     want = np.asarray(jax.nn.log_softmax(
         jnp.asarray(h @ wq, jnp.float32), axis=-1))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_oracle_accept_quant_fixture():
+    """bench.py's --oracle-accept construction at small scale: zero quant
+    packs (nibble 8) make the base a bigram chain and the drafter reproduce
+    its argmax — every round accepts num_iter+1 tokens."""
+    import bench as bench_mod
+
+    cfg = ModelConfig(
+        vocab_size=256, num_layers=2, hidden_size=1024,
+        intermediate_size=1024, num_heads=8, num_kv_heads=2, head_dim=128,
+        rope=RopeConfig(), dtype="float32", quant=True,
+    )
+    ecfg = EagleConfig(
+        model=dataclasses.replace(cfg, num_layers=1, quant_lmhead=False),
+        num_iter=2, topk_per_iter=4, tree_size=8, use_attn_norm=True,
+    )
+    params, eparams = bench_mod._oracle_spec_pair(cfg, ecfg)
+    assert "q" in params["layers"]["wq"]
+
+    eng = EngineConfig(chunk_length=8, max_total_length=256,
+                       spec_segment_size=2)
+    prompt = [3, 14, 15, 9]
+    want, _, _ = Engine(cfg, eng, params, attn_impl="xla").generate(
+        prompt, generation_length=19
+    )
+    spec = SpecEngine(cfg, ecfg, eng, params, eparams, attn_impl="xla")
+    got, _, _ = spec.generate(prompt, generation_length=19)
+    assert got == want
+    # every full round accepts the whole chain (num_iter+1 == 3)
+    assert max(spec.accept_lengths) == ecfg.num_iter + 1
+    assert spec.mean_accept_length() > 2.0
