@@ -25,6 +25,8 @@ $(date +%H:%M:%S))" >&2
 
 run dense        python bench.py --steps 64
 run spec_eagle2  python bench.py --spec --steps 64
+run spec_oracle  python bench.py --spec --oracle-accept --steps 64
+run sparse_spec_oracle python bench.py --sparse --spec --oracle-accept --prompt-len 32768 --steps 64
 run sparse_spec  python bench.py --sparse --spec --prompt-len 32768 --steps 64
 run spec_chain   python bench.py --spec --spec-type chain --steps 64
 run spec_eagle3  python bench.py --spec --spec-type eagle3 --steps 64

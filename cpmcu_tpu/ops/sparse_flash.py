@@ -164,8 +164,10 @@ def _sparse_kernel(
     g: int,
     bt: int,
     emit_lse: bool,
+    gs: int = 1,  # g-split: grid axis 0 is (kv head, sub-group); the visit
+                  # tables are per kv head (h // gs)
 ):
-    h = pl.program_id(0)
+    h = pl.program_id(0) // gs
     qi = pl.program_id(1)
     b = pl.program_id(2)
     nq = pl.num_programs(1)
@@ -233,7 +235,7 @@ def _sparse_kernel(
     jax.jit,
     static_argnames=(
         "include_new", "local_blocks", "return_lse", "scale", "bt", "layer",
-        "interpret", "bk",
+        "interpret", "bk", "gs",
     ),
 )
 def sparse_flash_mha(
@@ -256,6 +258,13 @@ def sparse_flash_mha(
     interpret: Optional[bool] = None,
     bk: Optional[int] = None,  # KV rows per tile; default BK_DECODE for
                                # decode-shaped T, BK for prefill
+    gs: Optional[int] = None,  # g-split: split the G query heads of a KV
+        # group over ``gs`` grid rows so bt grows gs-fold at the same MXU
+        # rows — each visited KV tile's DMA then serves gs x more query
+        # tokens. The per-query-tile visit UNION also grows with bt, so
+        # this pays off when unions overlap heavily (large-T prefill; the
+        # VERDICT round-1 "g-split prefill kernel" idea). Default: 4 at
+        # prefill shapes (T >= 1024), 1 otherwise.
 ):
     if interpret is None:
         interpret = _interpret_default()
@@ -266,12 +275,17 @@ def sparse_flash_mha(
     K = topk_idx.shape[-1]
     if scale is None:
         scale = 1.0 / math.sqrt(D)
+    if gs is None:
+        gs = 4 if T >= 1024 else 1
+    while G % gs:
+        gs -= 1
     if bt is None:
-        bt = max(8, 1024 // G)
+        bt = max(8, (1024 * gs) // G)
     bt = min(bt, _round_up(T, 8))
     nq = pl.cdiv(T, bt)
     Tp = nq * bt
-    rows = G * bt
+    gsub = G // gs  # query heads per grid row after the split
+    rows = gsub * bt
     if bk is None:
         bk = BK_DECODE if T <= 8 and S % BK_DECODE == 0 else BK
 
@@ -294,13 +308,13 @@ def sparse_flash_mha(
         k_cache = jnp.pad(k_cache, ((0, 0), (0, Sp - S), (0, 0)))
         v_cache = jnp.pad(v_cache, ((0, 0), (0, Sp - S), (0, 0)))
 
-    # fold query heads into tile rows: (T, H, D) -> (KVH, nq, G*bt, D)
+    # fold query heads into tile rows: (T, H, D) -> (KVH*gs, nq, gsub*bt, D)
     if Tp != T:
         q = jnp.pad(q, ((0, Tp - T), (0, 0), (0, 0)))
     qg = (
-        q.reshape(nq, bt, KVH, G, D)
-        .transpose(2, 0, 3, 1, 4)
-        .reshape(KVH, nq, rows, D)
+        q.reshape(nq, bt, KVH, gs, gsub, D)
+        .transpose(2, 3, 0, 4, 1, 5)
+        .reshape(KVH * gs, nq, rows, D)
     )
     pos_p = jnp.asarray(positions, jnp.int32)
     if Tp != T:
@@ -311,24 +325,27 @@ def sparse_flash_mha(
         def kv_index(h, qi, b, load_ref, visit_ref, limit_ref):
             nqq = pl.num_programs(1)
             nbb = pl.num_programs(2)
-            return (h, load_ref[(h * nqq + qi) * nbb + b], 0)
+            kvh = h // gs
+            return (kvh, load_ref[(kvh * nqq + qi) * nbb + b], 0)
 
         kv_block = (1, bk, D)
     else:
         def kv_index(h, qi, b, load_ref, visit_ref, limit_ref):
             nqq = pl.num_programs(1)
             nbb = pl.num_programs(2)
-            return (layer, h, load_ref[(h * nqq + qi) * nbb + b], 0)
+            kvh = h // gs
+            return (layer, kvh, load_ref[(kvh * nqq + qi) * nbb + b], 0)
 
         kv_block = (1, 1, bk, D)
 
     kernel = functools.partial(
-        _sparse_kernel, scale=scale, g=G, bt=bt, emit_lse=return_lse,
+        _sparse_kernel, scale=scale, g=gsub, bt=bt, emit_lse=return_lse,
+        gs=gs,
     )
 
     if return_lse:
         lse_spec = pl.BlockSpec((1, 1, rows, 128), lambda h, qi, b, *_: (h, qi, 0, 0))
-        lse_shape = jax.ShapeDtypeStruct((KVH, nq, rows, 128), jnp.float32)
+        lse_shape = jax.ShapeDtypeStruct((KVH * gs, nq, rows, 128), jnp.float32)
     else:
         lse_spec = pl.BlockSpec((1, 1, 8, 128), lambda h, qi, b, *_: (0, 0, 0, 0))
         lse_shape = jax.ShapeDtypeStruct((1, 1, 8, 128), jnp.float32)
@@ -337,10 +354,11 @@ def sparse_flash_mha(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(KVH, nq, ngrid),
+            grid=(KVH * gs, nq, ngrid),
             in_specs=[
                 pl.BlockSpec((1, 1, rows, D), lambda h, qi, b, *_: (h, qi, 0, 0)),
-                pl.BlockSpec((1, 1, bt, nbk), lambda h, qi, b, *_: (h, qi, 0, 0)),
+                pl.BlockSpec((1, 1, bt, nbk),
+                             lambda h, qi, b, *_: (h // gs, qi, 0, 0)),
                 pl.BlockSpec((1, 1, bt), lambda h, qi, b, *_: (qi, 0, 0)),
                 pl.BlockSpec(kv_block, kv_index),
                 pl.BlockSpec(kv_block, kv_index),
@@ -356,7 +374,7 @@ def sparse_flash_mha(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((KVH, nq, rows, D), q.dtype),
+            jax.ShapeDtypeStruct((KVH * gs, nq, rows, D), q.dtype),
             lse_shape,
         ],
         interpret=interpret,
@@ -366,16 +384,16 @@ def sparse_flash_mha(
     )
 
     out = (
-        out.reshape(KVH, nq, G, bt, D)
-        .transpose(1, 3, 0, 2, 4)
+        out.reshape(KVH, gs, nq, gsub, bt, D)
+        .transpose(2, 4, 0, 1, 3, 5)
         .reshape(Tp, H, D)[:T]
     )
     if not return_lse:
         return out
     lse = (
         lse[..., 0]
-        .reshape(KVH, nq, G, bt)
-        .transpose(1, 3, 0, 2)
+        .reshape(KVH, gs, nq, gsub, bt)
+        .transpose(2, 4, 0, 1, 3)
         .reshape(Tp, H)[:T]
     )
     return out, lse

@@ -440,3 +440,52 @@ def test_stage1_pallas_matches_xla(use_lse, T):
                                rtol=2e-4, atol=2e-5)
     # masked columns must be exactly zero (max-pool relies on it)
     assert np.all(np.asarray(got)[:, :, 200:] == 0.0)
+
+
+@pytest.mark.parametrize("gs,return_lse", [(2, False), (4, False), (2, True)])
+def test_sparse_kernel_gsplit_matches_oracle(gs, return_lse):
+    """g-split (query group split over grid rows so bt grows) must be
+    numerically identical to the unsplit kernel / XLA oracle."""
+    from cpmcu_tpu.ops.attention import mha_xla
+    from cpmcu_tpu.ops.sparse_flash import sparse_flash_mha
+
+    rng = np.random.default_rng(11)
+    H, KVH, D = 8, 2, 32  # G = 4
+    S = 1024
+    NB = S // 64
+    prior = 700
+    local = 3
+    T = 48
+    include_new = not return_lse
+
+    q = rng.normal(size=(T, H, D)).astype(np.float32)
+    kc = rng.normal(size=(KVH, S, D)).astype(np.float32)
+    vc = rng.normal(size=(KVH, S, D)).astype(np.float32)
+    positions = np.arange(prior, prior + T, dtype=np.int32)
+    idx, valid = _rand_selection(rng, KVH, T, NB, 4)
+
+    got = sparse_flash_mha(
+        jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc), prior,
+        jnp.asarray(idx), jnp.asarray(valid), jnp.asarray(positions),
+        include_new=include_new, local_blocks=local, interpret=True,
+        return_lse=return_lse, gs=gs, bt=16,
+    )
+    if return_lse:
+        got, got_lse = got
+
+    bits = sp.bits_from_topk(jnp.asarray(idx), jnp.asarray(valid), NB)
+    bm = sp.block_visibility(bits, jnp.asarray(positions), local_blocks=local)
+    tm = None if include_new else jnp.zeros((T, T), jnp.bool_)
+    want = mha_xla(jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc),
+                   prior, tm, bm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    if return_lse:
+        ref, ref_lse = sparse_flash_mha(
+            jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc), prior,
+            jnp.asarray(idx), jnp.asarray(valid), jnp.asarray(positions),
+            include_new=include_new, local_blocks=local, interpret=True,
+            return_lse=True, gs=1, bt=16,
+        )
+        np.testing.assert_allclose(np.asarray(got_lse), np.asarray(ref_lse),
+                                   rtol=2e-4, atol=2e-4)
