@@ -35,6 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .sparse import BLOCK, NEG_INF
 
+# Prefill tiling knobs (ablation scripts mutate + jax.clear_caches(), like
+# ops.quant.TUNE): gs = g-split factor, bt = query tokens/tile (0 = auto).
+TUNE = {"prefill_gs": 4, "prefill_bt": 0}
+
 BK = 512  # KV rows per pipelined tile at prefill (8 selection blocks)
 BK_DECODE = 128  # decode-shaped calls: selected blocks are scattered, so
 # finer tiles cut the dominant cost — tile DMA traffic — 4x (the grid
@@ -260,11 +264,15 @@ def sparse_flash_mha(
                                # decode-shaped T, BK for prefill
     gs: Optional[int] = None,  # g-split: split the G query heads of a KV
         # group over ``gs`` grid rows so bt grows gs-fold at the same MXU
-        # rows — each visited KV tile's DMA then serves gs x more query
-        # tokens. The per-query-tile visit UNION also grows with bt, so
-        # this pays off when unions overlap heavily (large-T prefill; the
-        # VERDICT round-1 "g-split prefill kernel" idea). Default: 4 at
-        # prefill shapes (T >= 1024), 1 otherwise.
+        # rows. The visit union is computed per (kv head, query tile), so
+        # widening bt makes ONE union cover gs x more tokens: total visited
+        # grid steps shrink whenever adjacent queries select overlapping
+        # blocks (real checkpoints — union growth is sublinear in bt).
+        # Under fully-saturated unions (synthetic weights) it is neutral:
+        # each of the gs sub-rows re-streams the same tiles. Default: 4 at
+        # prefill shapes (T >= 1024), 1 otherwise. For a saturated-regime
+        # DMA cut use a larger ``bt`` at gs=1 instead (rows grows past
+        # 1024; VMEM limit is raised automatically).
 ):
     if interpret is None:
         interpret = _interpret_default()
@@ -276,11 +284,15 @@ def sparse_flash_mha(
     if scale is None:
         scale = 1.0 / math.sqrt(D)
     if gs is None:
-        gs = 4 if T >= 1024 else 1
+        gs = TUNE["prefill_gs"] if T >= 1024 else 1
+    gs = max(gs, 1)
     while G % gs:
         gs -= 1
     if bt is None:
-        bt = max(8, (1024 * gs) // G)
+        if T >= 1024 and TUNE["prefill_bt"]:
+            bt = TUNE["prefill_bt"]
+        else:
+            bt = max(8, (1024 * gs) // G)
     bt = min(bt, _round_up(T, 8))
     nq = pl.cdiv(T, bt)
     Tp = nq * bt
@@ -377,6 +389,12 @@ def sparse_flash_mha(
             jax.ShapeDtypeStruct((KVH * gs, nq, rows, D), q.dtype),
             lse_shape,
         ],
+        # rows > 1024 (large-bt saturated-prefill tiles) needs scratch past
+        # the ~16MB scoped-VMEM default (CLAUDE.md environment truths)
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if rows > 1024 else None
+        ),
         interpret=interpret,
     )(
         load_idx.reshape(-1), visited.reshape(-1), limit.reshape(1),
