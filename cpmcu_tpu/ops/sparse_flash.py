@@ -35,9 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .sparse import BLOCK, NEG_INF
 
-# Prefill tiling knobs (ablation scripts mutate + jax.clear_caches(), like
-# ops.quant.TUNE): gs = g-split factor, bt = query tokens/tile (0 = auto).
-TUNE = {"prefill_gs": 4, "prefill_bt": 0}
+# Tiling knobs (ablation scripts mutate + jax.clear_caches(), like
+# ops.quant.TUNE): gs = g-split factor, bt = query tokens/tile (0 = auto),
+# decode_bk = KV rows per decode tile (64 = exactly one selection block,
+# halving scattered-block DMA vs 128; A/B on hardware).
+TUNE = {"prefill_gs": 4, "prefill_bt": 0, "decode_bk": 128}
 
 BK = 512  # KV rows per pipelined tile at prefill (8 selection blocks)
 BK_DECODE = 128  # decode-shaped calls: selected blocks are scattered, so
@@ -299,7 +301,8 @@ def sparse_flash_mha(
     gsub = G // gs  # query heads per grid row after the split
     rows = gsub * bt
     if bk is None:
-        bk = BK_DECODE if T <= 8 and S % BK_DECODE == 0 else BK
+        dbk = TUNE["decode_bk"] or BK_DECODE
+        bk = dbk if T <= 8 and S % dbk == 0 else BK
 
     prior = jnp.asarray(prior_len, jnp.int32)
     limit = prior + (T if include_new else 0)

@@ -489,3 +489,34 @@ def test_sparse_kernel_gsplit_matches_oracle(gs, return_lse):
         )
         np.testing.assert_allclose(np.asarray(got_lse), np.asarray(ref_lse),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_sparse_kernel_decode_bk64_matches_oracle():
+    """decode_bk=64 tiles (one selection block per tile) stay exact."""
+    from cpmcu_tpu.ops.attention import mha_xla
+    from cpmcu_tpu.ops.sparse_flash import sparse_flash_mha
+
+    rng = np.random.default_rng(13)
+    H, KVH, D = 8, 2, 32
+    S = 1024
+    NB = S // 64
+    prior = 700
+    T = 4
+
+    q = rng.normal(size=(T, H, D)).astype(np.float32)
+    kc = rng.normal(size=(KVH, S, D)).astype(np.float32)
+    vc = rng.normal(size=(KVH, S, D)).astype(np.float32)
+    positions = np.arange(prior, prior + T, dtype=np.int32)
+    idx, valid = _rand_selection(rng, KVH, T, NB, 4)
+
+    got = sparse_flash_mha(
+        jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc), prior,
+        jnp.asarray(idx), jnp.asarray(valid), jnp.asarray(positions),
+        include_new=True, local_blocks=3, interpret=True, bk=64,
+    )
+    bits = sp.bits_from_topk(jnp.asarray(idx), jnp.asarray(valid), NB)
+    bm = sp.block_visibility(bits, jnp.asarray(positions), local_blocks=3)
+    want = mha_xla(jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc),
+                   prior, None, bm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
