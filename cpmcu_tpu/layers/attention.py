@@ -43,6 +43,14 @@ def attention_block(
     c1: Optional[jnp.ndarray] = None,  # (KVH, S/16, D) compressed keys
     c2: Optional[jnp.ndarray] = None,  # (KVH, S/64, D)
     sparse_select: bool = False,  # static: engage InfLLM-v2 block selection
+    sp_axis: Optional[str] = None,  # sequence-parallel: this call runs
+                    # inside shard_map with the KV cache sharded on S; the
+                    # slab offset is axis_index * S_local, new rows write
+                    # only into the owning slab, and the partial attention
+                    # outputs LSE-combine across the axis (parallel/seq.py;
+                    # no reference counterpart — the CUDA engine is
+                    # single-GPU). Requires window == sink == 0, no tree
+                    # mask, no sparse selection.
 ):
     T = x.shape[0]
     if "wqkv" in p:
@@ -68,6 +76,35 @@ def attention_block(
     # rope tables arrive pre-sliced (T, D): the gather is layer-invariant
     # and is hoisted out of the layer loop by every caller
     q, k = apply_rope(q, k, rope_cos, rope_sin)
+
+    if sp_axis is not None:
+        import jax
+
+        assert tree_mask is None and window == 0 and sink == 0
+        assert not sparse_select
+        S_local = k_cache.shape[-2]
+        off = (jax.lax.axis_index(sp_axis) * S_local).astype(jnp.int32)
+        wa = jnp.asarray(cache_len if write_at is None else write_at,
+                         jnp.int32)
+        # masked write: only the slab(s) owning rows [wa, wa+T) take them
+        rows = wa - off + jnp.arange(T, dtype=jnp.int32)
+        rows = jnp.where((rows >= 0) & (rows < S_local), rows, S_local)
+        k_cache = k_cache.at[:, rows].set(jnp.swapaxes(k, 0, 1), mode="drop")
+        v_cache = v_cache.at[:, rows].set(jnp.swapaxes(v, 0, 1), mode="drop")
+        # local partial attention (shift-invariant causality), then the
+        # flash split-kv LSE combine across the axis
+        out, lse = mha(
+            q, k_cache, v_cache,
+            jnp.asarray(cache_len, jnp.int32) - off,
+            impl=attn_impl, return_lse=True,
+        )
+        m = jax.lax.pmax(lse, sp_axis)
+        w = jnp.exp(lse - m)
+        num = jax.lax.psum(out.astype(jnp.float32) * w[..., None], sp_axis)
+        den = jax.lax.psum(w, sp_axis)
+        out = (num / jnp.maximum(den, 1e-30)[..., None]).astype(q.dtype)
+        out = linear(p["wo"], out.reshape(T, cfg.num_heads * cfg.head_dim))
+        return out, k_cache, v_cache
 
     k_cache, v_cache = append_layer(
         k_cache, v_cache, k, v, cache_len if write_at is None else write_at

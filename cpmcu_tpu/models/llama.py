@@ -173,7 +173,7 @@ def forward_batch(cfg: ModelConfig, params: dict, tokens: jax.Array) -> jax.Arra
     static_argnames=(
         "cfg", "logits_mode", "window", "sink", "attn_impl",
         "sparse_select", "return_hidden", "tap_layers", "kv_span", "unroll",
-        "defer_kv_write",
+        "defer_kv_write", "sp_axis",
     ),
     donate_argnames=("cache",),
 )
@@ -213,6 +213,11 @@ def forward(
                                   # write on the carry and XLA copied the
                                   # whole cache every fused spec round
                                   # (~3.5ms at 32K; round-2 profiling)
+    sp_axis: Optional[str] = None,  # sequence-parallel shard_map axis: the
+                                  # cache arrays are per-device S-slabs and
+                                  # attention LSE-combines across the axis
+                                  # (layers.attention sp path; scan layers
+                                  # only — no unroll/sparse/tree/span)
     kv_span: Optional[int] = None,  # static attention-span bucket: only the
                                   # first kv_span cache rows flow through the
                                   # layer scan and kernels, so per-step cost
@@ -231,6 +236,10 @@ def forward(
     Returns (logits | hidden, new_cache, hidden_last).
     """
     import dataclasses
+
+    if sp_axis is not None:
+        assert not unroll and not sparse_select and not defer_kv_write
+        assert tree_mask is None and kv_span is None and window == 0
 
     rope_cos, rope_sin = rope
     # hoist the layer-invariant rope table gather out of the layer loop
@@ -254,7 +263,7 @@ def forward(
         attn_out, k_c, v_c = attention_block(
             cfg, p, normed, positions, k_c, v_c, cache.length,
             rope_cos, rope_sin, tree_mask, window, sink, attn_impl,
-            c1=c1_c, c2=c2_c, sparse_select=sparse_select,
+            c1=c1_c, c2=c2_c, sparse_select=sparse_select, sp_axis=sp_axis,
         )
         hidden = hidden + attn_out * jnp.asarray(cfg.scale_residual, hidden.dtype)
         normed = rms_norm(hidden, p["ffn_norm"], cfg.rms_norm_eps)

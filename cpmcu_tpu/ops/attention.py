@@ -120,8 +120,30 @@ def mha_xla(
 
 
 def mha(q, k_cache, v_cache, prior_len, tree_mask=None, block_mask=None,
-        *, window: int = 0, sink: int = 0, impl: str = "auto"):
-    """Dispatch between the XLA oracle and the Pallas flash kernels."""
+        *, window: int = 0, sink: int = 0, impl: str = "auto",
+        return_lse: bool = False):
+    """Dispatch between the XLA oracle and the Pallas flash kernels.
+
+    ``return_lse`` (causal, no tree/block mask) also returns the per-(token,
+    head) log-sum-exp (T, H) f32 — the sequence-parallel partial-attention
+    path combines shards with it (parallel/seq.py)."""
+    if return_lse:
+        assert tree_mask is None and block_mask is None
+        if impl in ("flash", "auto"):
+            try:
+                from . import flash
+
+                if impl == "flash" or flash.is_supported(q, k_cache):
+                    return flash.flash_mha(
+                        q, k_cache, v_cache, prior_len,
+                        causal=True, window=window, sink=sink,
+                        return_lse=True,
+                    )
+            except ImportError:
+                pass
+        out, lse = mha_xla(q, k_cache, v_cache, prior_len, None, None,
+                           window=window, sink=sink, return_lse=True)
+        return out, lse.T  # mha_xla emits (H, T); flash emits (T, H)
     if impl in ("flash", "auto"):
         try:
             from . import flash  # noqa: F401
