@@ -286,11 +286,9 @@ def bench_batch(cfg, eng, steps=64, prompt_len=128, batch=8):
     t0 = time.time()
     be._admit([])  # all slot prefills
     prefill_dt = time.time() - t0
-    seg = max(1, eng.decode_segment_size)
     t0 = time.time()
-    n = 0
-    while be.active:
-        n += len(be.step_segment(seg))
+    # pipelined segment drain (segment N+1 dispatched before N's readback)
+    n = sum(len(v) for v in be.run().values())
     dt = time.time() - t0
     return {
         "decode_tok_s": n / dt,

@@ -33,4 +33,20 @@ run spec_eagle3  python bench.py --spec --spec-type eagle3 --steps 64
 run spec_hier    python bench.py --spec --spec-type hier --steps 32
 run sparse_32k   python bench.py --sparse --prompt-len 32768 --steps 64
 run batch_8      python bench.py --batch 8 --steps 64
+
+# dataset-eval machinery end-to-end on TPU (VERDICT r1 item 4); the runner
+# prints its own summary lines — record its exit status only
+dataset() {
+  local name="$1"; shift
+  echo "=== $name: $* ($(date +%H:%M:%S))" >&2
+  if timeout 1400 "$@" >&2 2>&1; then
+    echo "{\"mode\": \"$name\", \"result\": \"ok\"}" >> "$OUT"
+  else
+    echo "{\"mode\": \"$name\", \"result\": null}" >> "$OUT"
+  fi
+}
+dataset eval_specbench python -m cpmcu_tpu.tools.run_dataset_eval \
+  --dataset specbench --num-samples 8 --generation-length 64 --spec
+dataset eval_gsm8k python -m cpmcu_tpu.tools.run_dataset_eval \
+  --dataset gsm8k --num-samples 8 --generation-length 64
 echo "sweep done: $OUT" >&2

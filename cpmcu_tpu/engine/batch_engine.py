@@ -486,18 +486,108 @@ class ContinuousBatchingEngine:
             self.free_slots.append(slot)
         return events
 
+    def _dispatch_segment(self, k: int, tokens_dev=None):
+        """Dispatch one k-step segment WITHOUT fetching its tokens.
+
+        ``tokens_dev`` chains the previous (still unfetched) segment's last
+        tokens on device, letting the host dispatch segment N+1 before
+        reading segment N — the tunnel readback RTT then overlaps segment
+        N+1's device execution (same pattern as spec_engine's pipelined
+        rounds). Returns an opaque handle for ``_process_segment``."""
+        active_mask = np.zeros((self.max_batch,), bool)
+        for slot in self.active:
+            active_mask[slot] = True
+        toks_in = jnp.asarray(self._tokens) if tokens_dev is None else tokens_dev
+        self.bcache, toks, self.key = batch_decode_segment(
+            self.cfg, self.params, self.rope, self.bcache,
+            toks_in, jnp.asarray(active_mask), self.key,
+            self._sampling_arrays(),
+            k=k, temperature=self.eng.temperature, top_k=self.eng.top_k,
+            top_p=self.eng.top_p, attn_impl=self.attn_impl,
+        )
+        return {"toks": toks, "slots": dict(self.active), "k": k}
+
+    def _process_segment(self, handle, events: List[StepEvent]):
+        """Fetch a dispatched segment (the one host sync) and commit its
+        kept tokens. ``self._host_lengths`` holds each slot's committed
+        length at this segment's start (processing happens in dispatch
+        order), so no length snapshot is needed at dispatch time."""
+        toks = np.asarray(handle["toks"])  # (k, B) — the sync
+        finished_slots = []
+        for slot, req in handle["slots"].items():
+            if req.done:
+                continue  # finished in an earlier in-flight segment:
+                # this segment's rows for the slot are overshoot garbage
+            kept = 0
+            for j in range(handle["k"]):
+                tok = int(toks[j, slot])
+                self._tokens[slot] = tok
+                req.emitted += 1
+                kept = j + 1
+                done = (tok in req.terminators
+                        or req.emitted >= req.max_new_tokens)
+                events.append(StepEvent(req.request_id, tok, done))
+                if done:
+                    req.done = True
+                    finished_slots.append(slot)
+                    break
+            self._host_lengths[slot] += kept
+        for slot in finished_slots:
+            if slot in self.active:
+                del self.active[slot]
+            self.free_slots.append(slot)
+
+    def _reconcile_lengths(self):
+        """Reset device cache lengths to the committed host mirror. Only
+        valid with no segment in flight (the device otherwise runs ahead
+        of the mirror by the in-flight rows)."""
+        self.bcache = BatchKVCache(
+            self.bcache.k, self.bcache.v, jnp.asarray(self._host_lengths)
+        )
+
     def run(self) -> Dict[int, List[int]]:
-        """Drain the queue; returns request_id -> emitted tokens."""
+        """Drain the queue; returns request_id -> emitted tokens.
+
+        Pipelined: segment N+1 is dispatched (input tokens chained on
+        device) before segment N's readback, hiding the tunnel RTT under
+        device execution. Admission and device-length reconciliation only
+        happen with the pipeline drained; a slot that finishes mid-flight
+        costs one discarded overshoot segment, exactly like the in-segment
+        overshoot ``step_segment`` already accepts."""
         out: Dict[int, List[int]] = {}
         seg = max(1, self.eng.decode_segment_size)
-        while self.has_work:
-            # always full segments: k is a static jit arg, so clipping to
-            # the shortest remaining budget compiles a fresh program per
-            # distinct k; step_segment rolls back overshoot instead
-            for ev in self.step_segment(seg):
+
+        def note(events):
+            for ev in events:
                 out.setdefault(ev.request_id, [])
                 if ev.token not in self._terminators_of(ev.request_id):
                     out[ev.request_id].append(ev.token)
+
+        if seg <= 1:
+            while self.has_work:
+                note(self.step())
+            return out
+
+        pend = None
+        while self.has_work or pend is not None:
+            events: List[StepEvent] = []
+            if pend is None:
+                self._reconcile_lengths()
+                self._admit(events)
+                note(events)
+                if self.active:
+                    pend = self._dispatch_segment(seg)
+                continue
+            # chain unless an admission is actually possible now — a
+            # waiting request with no free slot can't be admitted, so
+            # draining for it would only stall the pipeline
+            chain = self.active and not (self.waiting and self.free_slots)
+            nxt = (self._dispatch_segment(seg, tokens_dev=pend["toks"][-1])
+                   if chain else None)
+            self._process_segment(pend, events)  # overlaps nxt on device
+            note(events)
+            pend = nxt
+        self._reconcile_lengths()
         return out
 
     # -- internals -------------------------------------------------------------

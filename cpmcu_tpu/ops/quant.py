@@ -55,7 +55,11 @@ SCALE_DTYPE = jnp.bfloat16
 # Decode-kernel tuning knobs (ablation scripts mutate + jax.clear_caches()):
 #   ku        — unpacked KCHUNKs per grid step (fatter, fewer steps)
 #   bn_ladder — widest-first N tile candidates for decode shapes
-TUNE = {"ku": 1, "bn_ladder": (2048, 1536, 1024, 512)}
+#   v3_extract — plane pair 0 masked in place at mantissa [0,4) (value
+#       1+n/128, fixup 128v-136) instead of shifted to [3,7): drops the
+#       j=0 shift, 12 -> 11 VPU ops per word (1.375/weight). Same pack
+#       layout, numerically identical (both fixups reduce to n-8 exactly).
+TUNE = {"ku": 1, "bn_ladder": (2048, 1536, 1024, 512), "v3_extract": True}
 
 
 def _interpret_default() -> bool:
@@ -207,17 +211,28 @@ def dequantize(q, s, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 def _extract_pair_planes(w, j: int, interpret: bool):
-    """(128, BN) int32 words -> (256, BN) bf16 of ``1 + nib/16`` for plane
-    pair ``j`` (row 2r = low 16-bit half = unpacked chunk row j*256 + 2r).
+    """(128, BN) int32 words -> ((256, BN) bf16 values, (mult, sub)) for
+    plane pair ``j`` (row 2r = low 16-bit half = unpacked chunk row
+    j*256 + 2r), where ``dequant = mult*v - sub == nib - 8`` exactly.
 
-    One shift + and + or builds TWO bf16s per word (0x3F80 | nib<<3), then
-    a sublane bitcast splits them — 1.5 VPU ops per weight."""
-    t = (w << 3) if j == 0 else jax.lax.shift_right_logical(w, 4 * j - 3)
-    u = (t & 0x00780078) | 0x3F803F80
+    One shift + and + or builds TWO bf16s per word (0x3F80 | nib<<3 ->
+    ``1 + nib/16``), then a sublane bitcast splits them — 1.5 VPU ops per
+    weight. With TUNE['v3_extract'], pair 0 (already at bits [0,4)/[16,20))
+    is masked IN PLACE into mantissa bits [0,4) (``1 + nib/128``, fixup
+    128v-136): no shift, 11 ops per word = 1.375/weight."""
+    if j == 0 and TUNE.get("v3_extract", False):
+        u = (w & 0x000F000F) | 0x3F803F80
+        mult, sub = 128.0, 136.0
+    else:
+        t = (w << 3) if j == 0 else jax.lax.shift_right_logical(w, 4 * j - 3)
+        u = (t & 0x00780078) | 0x3F803F80
+        mult, sub = 16.0, 24.0
     if interpret:
         b2 = jax.lax.bitcast_convert_type(u, jnp.bfloat16)  # (128, BN, 2)
-        return b2.transpose(0, 2, 1).reshape(2 * u.shape[0], u.shape[1])
-    return pltpu.bitcast(u, jnp.bfloat16)
+        v = b2.transpose(0, 2, 1).reshape(2 * u.shape[0], u.shape[1])
+    else:
+        v = pltpu.bitcast(u, jnp.bfloat16)
+    return v, (mult, sub)
 
 
 def _dot_packed_chunk(x, w, s, acc, interpret):
@@ -239,7 +254,7 @@ def _dot_packed_chunk(x, w, s, acc, interpret):
         x.astype(jnp.float32).reshape(x.shape[0], 8, 128), axis=2
     )
     for j in range(4):
-        v = _extract_pair_planes(w, j, interpret)  # (256, BN) bf16
+        v, (mult, sub) = _extract_pair_planes(w, j, interpret)  # (256, BN)
         if x.dtype == jnp.float32:
             v = v.astype(jnp.float32)
         for h in range(2):
@@ -250,7 +265,7 @@ def _dot_packed_chunk(x, w, s, acc, interpret):
                 preferred_element_type=jnp.float32,
             )
             sg = s[g : g + 1].astype(jnp.float32)  # (1, BN)
-            acc = acc + sg * (16.0 * d - 24.0 * xsum[:, g : g + 1])
+            acc = acc + sg * (mult * d - sub * xsum[:, g : g + 1])
     return acc
 
 
@@ -352,12 +367,12 @@ def _qmm_kernel(
         w = q_ref[:]  # (128, BN) int32
         sc = s_ref[:]  # (8, BN) f32
         for j in range(4):
-            v = _extract_pair_planes(w, j, interpret)  # (256, BN) bf16
+            v, (mult, sub) = _extract_pair_planes(w, j, interpret)
             for h in range(2):
                 g = 2 * j + h
                 vv = v[h * 128 : (h + 1) * 128].astype(w_ref.dtype)
                 sg = sc[g : g + 1].astype(w_ref.dtype)
-                w_ref[g * 128 : (g + 1) * 128, :] = (vv * 16.0 - 24.0) * sg
+                w_ref[g * 128 : (g + 1) * 128, :] = (vv * mult - sub) * sg
 
     @pl.when(k == 0)
     def _init():

@@ -70,6 +70,26 @@ def test_terminator_frees_slot(tiny):
     assert len(be.free_slots) == 2
 
 
+def test_pipelined_neighbor_finish_no_corruption(tiny):
+    """run() pipelines segments (N+1 dispatched before N's readback). A
+    slot finishing mid-flight leaves one chained garbage segment for its
+    lane; the continuing neighbor's greedy output must be unaffected, and
+    the finished slot must be freed with committed lengths reconciled."""
+    cfg, params = tiny
+    eng = EngineConfig(chunk_length=16, max_total_length=128)
+    single = Engine(cfg, eng, params, attn_impl="xla")
+    want, _, _ = single.generate([4, 5, 6], generation_length=40)
+
+    be = _batch_engine(tiny, max_batch=2)
+    short = be.submit([1, 2, 3], max_new_tokens=3)  # ends in segment 1
+    long = be.submit([4, 5, 6], max_new_tokens=40)  # spans ~3 segments
+    out = be.run()
+    assert len(out[short]) == 3
+    assert out[long] == want
+    assert len(be.free_slots) == 2
+    assert list(np.asarray(be.bcache.lengths)) == list(be._host_lengths)
+
+
 def test_submit_overflow_raises(tiny):
     be = _batch_engine(tiny, max_batch=2)
     with pytest.raises(ValueError):
