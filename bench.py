@@ -330,6 +330,10 @@ def main():
     ap.add_argument("--spec-type", default="eagle2",
                     choices=["eagle2", "chain", "eagle3", "hier"])
     ap.add_argument("--sparse", action="store_true", help="InfLLM-v2 long context")
+    ap.add_argument("--oracle-union", action="store_true",
+                    help="sparse best-case bracket: one stage-1 selection "
+                    "per forward, so the per-tile visit union is minimal "
+                    "(random weights otherwise saturate it; see PERF.md)")
     ap.add_argument("--batch", type=int, default=0, help="continuous batching slots")
     ap.add_argument("--steps", type=int, default=64)
     # default one full chunk so prefill tok/s is not diluted by padding
@@ -348,6 +352,8 @@ def main():
     # DOWN, which would swallow the generation slack at exact-page prompts)
     per_seq = max(2048, args.prompt_len + args.steps + 256)
     per_seq = (per_seq + 511) // 512 * 512
+    if args.oracle_union:
+        cfg = dataclasses.replace(cfg, sparse_oracle_union=True)
     # batch mode splits the budget across slots
     max_len = args.max_len or per_seq * max(args.batch, 1)
     eng = EngineConfig(chunk_length=args.chunk_len, max_total_length=max_len)
@@ -369,9 +375,13 @@ def main():
                            oracle_accept=args.oracle_accept)
             extra["mean_accept_length"] = round(r["mean_accept"], 3)
             mode = f"sparse-{args.prompt_len}ctx-{args.spec_type}-spec"
+            if args.oracle_union:
+                mode += "-ou"
         elif args.sparse:
             r = bench_sparse(cfg, eng, steps=args.steps, prompt_len=args.prompt_len)
             mode = f"sparse-{args.prompt_len}ctx"
+            if args.oracle_union:
+                mode += "-ou"
         elif args.spec:
             r = bench_spec(cfg, eng, steps=args.steps, prompt_len=args.prompt_len,
                            spec_type=args.spec_type,

@@ -32,6 +32,11 @@ run spec_chain   python bench.py --spec --spec-type chain --steps 64
 run spec_eagle3  python bench.py --spec --spec-type eagle3 --steps 64
 run spec_hier    python bench.py --spec --spec-type hier --steps 32
 run sparse_32k   python bench.py --sparse --prompt-len 32768 --steps 64
+run sparse_16k   python bench.py --sparse --prompt-len 16384 --steps 64
+run sparse_96k   python bench.py --sparse --prompt-len 98304 --steps 64
+run sparse_32k_ou python bench.py --sparse --oracle-union --prompt-len 32768 --steps 64
+run sparse_96k_ou python bench.py --sparse --oracle-union --prompt-len 98304 --steps 64
+run sparse_spec_ou python bench.py --sparse --spec --oracle-union --oracle-accept --prompt-len 32768 --steps 64
 run batch_8      python bench.py --batch 8 --steps 64
 
 # dataset-eval machinery end-to-end on TPU (VERDICT r1 item 4); the runner

@@ -108,6 +108,13 @@ class ModelConfig:
     sparse_topk_k: int = 64
     sparse_switch: int = 0  # engage selection once compressed coverage > this
     use_compress_lse: bool = True  # stage-1 LSE from the 64x-compressed keys
+    sparse_oracle_union: bool = False  # best-case bracket for synthetic
+    # weights (bench --oracle-union): broadcast the last query's stage-1
+    # scores across the chunk so every query tile selects the SAME top-k
+    # blocks — the per-tile visit union collapses to ~topk blocks. Random
+    # weights give uncorrelated scores whose per-tile union saturates ALL
+    # KV tiles (PERF.md caveat); real checkpoints sit between the two
+    # endpoints. Stage-1/top-k compute is unchanged (honest timing).
 
     @property
     def q_size(self) -> int:

@@ -119,6 +119,10 @@ def attention_block(
             c_len_of(cache_len, C1_STRIDE), c_len_of(cache_len, C2_STRIDE),
             use_lse=cfg.use_compress_lse,
         )
+        if cfg.sparse_oracle_union:
+            # best-case union bracket (core.config): tree/decode nodes
+            # share the last node's selection; masks still per-query
+            scores = jnp.broadcast_to(scores[:, -1:, :], scores.shape)
         topk_idx, topk_valid, _ = select_blocks(
             scores, positions, cache_len,
             topk=cfg.sparse_topk_k,
@@ -206,6 +210,11 @@ def attention_block_zerocopy(
             c_len_of(prior, C1_STRIDE), c_len_of(prior, C2_STRIDE),
             use_lse=cfg.use_compress_lse,
         )
+        if cfg.sparse_oracle_union:
+            # best-case union bracket (core.config): every query selects
+            # the last query's blocks; per-query causal/window masks still
+            # apply downstream
+            scores = jnp.broadcast_to(scores[:, -1:, :], scores.shape)
         topk_idx, topk_valid, _ = select_blocks(
             scores, positions, prior,
             topk=cfg.sparse_topk_k,

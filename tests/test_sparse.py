@@ -351,6 +351,70 @@ def test_sparse_engine_generates():
     assert int(engine.cache.length) >= 200 + 11
 
 
+def test_oracle_union_collapses_visit_union():
+    """The mechanism behind bench --oracle-union: broadcasting one query's
+    stage-1 scores makes every query tile select the SAME blocks, so the
+    per-tile visit union drops from ~saturated to ~topk."""
+    from cpmcu_tpu.ops.sparse import select_blocks
+    from cpmcu_tpu.ops.sparse_flash import build_visit_tables
+
+    rng = np.random.default_rng(0)
+    KVH, T, S1, topk = 1, 256, 512, 4
+    scores = jnp.asarray(rng.random((KVH, T, S1)), jnp.float32)
+    positions = jnp.arange(S1 * 64 - T, S1 * 64, dtype=jnp.int32)
+    hist = jnp.asarray(S1 * 64 - T, jnp.int32)
+
+    def visited_sum(sc):
+        idx, valid, _ = select_blocks(sc, positions, hist, topk=topk,
+                                      init_blocks=1, local_blocks=2)
+        _, visited, _ = build_visit_tables(
+            idx, valid, positions, hist, nb=S1, bt=128,
+            local_blocks=2, bk=512,
+        )
+        return int(visited.sum())
+
+    saturated = visited_sum(scores)
+    collapsed = visited_sum(jnp.broadcast_to(scores[:, -1:], scores.shape))
+    # at this tiny shape (2 query tiles) random scores give 33 visited vs 9
+    # collapsed; at bench shapes the gap is the full saturation ratio
+    assert collapsed <= saturated / 2, (collapsed, saturated)
+
+
+def test_sparse_oracle_union_engine_generates():
+    """--oracle-union bracket (core.config sparse_oracle_union): one
+    stage-1 selection per forward. Generation must still run end-to-end,
+    and with top-k covering everything it must equal exact sparse (the
+    broadcast only changes WHICH blocks are picked, never visibility
+    masking)."""
+    from cpmcu_tpu.engine.engine import Engine
+    from cpmcu_tpu.models import llama
+
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(0, 128, size=200).tolist()
+
+    cfg = _sparse_cfg(sparse_topk_k=2, block_window_size=2, sparse_switch=64,
+                      sparse_oracle_union=True)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    eng = EngineConfig(chunk_length=64, max_total_length=512,
+                       decode_segment_size=4)
+    engine = Engine(cfg, eng, params, attn_impl="xla")
+    tokens, _, _ = engine.generate(prompt, generation_length=12)
+    assert len(tokens) == 12
+    assert engine.sparse_engaged()
+
+    # full-coverage case: selection identical regardless of which query's
+    # scores are used -> oracle-union output == exact sparse output
+    outs = []
+    for ou in (False, True):
+        cfg_f = _sparse_cfg(sparse_topk_k=64, block_window_size=64,
+                            sparse_switch=0, sparse_oracle_union=ou)
+        p_f = llama.init_params(cfg_f, jax.random.PRNGKey(1))
+        e_f = Engine(cfg_f, eng, p_f, attn_impl="xla")
+        toks, _, _ = e_f.generate(prompt, generation_length=8)
+        outs.append(toks)
+    assert outs[0] == outs[1]
+
+
 def test_sparse_spec_engine_generates():
     import dataclasses
 
