@@ -362,9 +362,12 @@ def main():
         wt = "w4a16" if args.quant else "bf16"
         extra = {}
         if args.batch:
+            if args.sparse:
+                cfg = dataclasses.replace(cfg, apply_sparse=True)
             r = bench_batch(cfg, eng, steps=args.steps, prompt_len=args.prompt_len,
                             batch=args.batch)
-            mode = f"batch{args.batch}"
+            mode = f"batch{args.batch}" + (
+                f"-sparse-{args.prompt_len}ctx" if args.sparse else "")
         elif args.sparse and args.spec:
             # the reference headline configuration: W4A16 + InfLLM-v2 +
             # EAGLE/FR-Spec at long context (README.md:93-105)

@@ -17,7 +17,12 @@ Design notes (TPU-first):
     path (a new request's prefill is the reference's chunked prefill,
     llm.py:209-221), writing into the slot's cache lane;
   * under a (dp, tp) mesh the slot axis shards over dp and heads over tp —
-    the batched arrays carry those shardings from creation.
+    the batched arrays carry those shardings from creation;
+  * with cfg.apply_sparse the arena is a BatchSparseKVCache: every slot
+    runs InfLLM-v2 selection over its own compressed mirrors and attends
+    through the slot-indexed block-sparse kernel
+    (ops.sparse_flash.mha_sparse_slots); compression commits once per
+    drained segment (cache.batch_sparse_kv).
 """
 
 from __future__ import annotations
@@ -137,9 +142,44 @@ def batch_decode_step(
             k = rms_norm(k, lp["k_norm"][li], cfg.rms_norm_eps)
         q, k = apply_rope(q, k, rc, rs)
 
-        out_h, lse_h = flash_mha_slots(
-            q, bcache.k, bcache.v, pos, layer=li, scale=scale
-        )
+        if cfg.apply_sparse:
+            # per-slot InfLLM-v2 selection (stage-1 + top-k are ~free at
+            # decode shapes) + slot-indexed block-sparse kernel; history
+            # only, self token merged below exactly like the dense path.
+            # Unlike the single engine (host-gated sparse_engaged), slots
+            # run selection unconditionally: below the engagement horizon
+            # the forced sink + local window covers every feasible block
+            # (horizon (topk+local+sink)*64 tokens >> the switch), so
+            # short slots still compute exact dense attention.
+            from ..ops.sparse import (
+                C1_STRIDE, C2_STRIDE, c_len_of, select_blocks, stage1_scores,
+            )
+            from ..ops.sparse_flash import mha_sparse_slots
+
+            def sel(qb, c1b, c2b, lb):
+                sc = stage1_scores(
+                    qb[None], c1b, c2b,
+                    c_len_of(lb, C1_STRIDE), c_len_of(lb, C2_STRIDE),
+                    use_lse=cfg.use_compress_lse,
+                )
+                idx, valid, _ = select_blocks(
+                    sc, lb[None], lb, topk=cfg.sparse_topk_k,
+                    init_blocks=cfg.sink_window_size,
+                    local_blocks=cfg.block_window_size,
+                )
+                return idx, valid
+
+            tki, tkv = jax.vmap(sel)(
+                q, bcache.c1[:, li], bcache.c2[:, li], bcache.lengths
+            )
+            out_h, lse_h = mha_sparse_slots(
+                q, bcache.k, bcache.v, pos, tki, tkv, layer=li,
+                local_blocks=cfg.block_window_size, impl=attn_impl,
+            )
+        else:
+            out_h, lse_h = flash_mha_slots(
+                q, bcache.k, bcache.v, pos, layer=li, scale=scale
+            )
         # self-token merge: one key => lse = score
         kb = jnp.repeat(k, G, axis=1)  # (B, H, D)
         vb = jnp.repeat(v, G, axis=1)
@@ -181,7 +221,10 @@ def batch_decode_step(
     else:
         nxt = sample_per_row(logits, keys[1], *sampling)
     new_lengths = jnp.where(active, bcache.lengths + 1, bcache.lengths)
-    return BatchKVCache(new_k, new_v, new_lengths), nxt, keys[0]
+    return (
+        dataclasses.replace(bcache, k=new_k, v=new_v, lengths=new_lengths),
+        nxt, keys[0],
+    )
 
 
 @functools.partial(
@@ -266,6 +309,56 @@ def prefill_slot_chunk(
     return BatchKVCache(new_k, new_v, new_lengths), logits[0]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "attn_impl", "sparse_select"),
+    donate_argnames=("bcache",),
+)
+def prefill_slot_chunk_sparse(
+    cfg: ModelConfig,
+    params: dict,
+    rope,
+    bcache,  # BatchSparseKVCache
+    slot: jax.Array,  # int32 scalar
+    chunk_tokens: jax.Array,  # (C,) int32, zero-padded
+    positions: jax.Array,  # (C,)
+    n_valid: jax.Array,  # int32
+    *,
+    attn_impl: str,
+    sparse_select: bool,  # host-decided per chunk (Engine.sparse_engaged)
+):
+    """Sparse analog of prefill_slot_chunk: run the chunk through the
+    single-sequence sparse forward on the slot's lane view, commit its
+    compressed mirrors (cache.sparse_kv.commit), and write the lanes
+    back. Returns (bcache, last-token logits (V,))."""
+    from ..cache.sparse_kv import SparseKVCache, commit
+
+    def lane(a):
+        return jnp.squeeze(jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0), 0)
+
+    cache = SparseKVCache(
+        lane(bcache.k), lane(bcache.v), lane(bcache.c1), lane(bcache.c2),
+        bcache.lengths[slot],
+    )
+    logits, cache = llama.forward(
+        cfg, params, rope, cache, chunk_tokens, positions,
+        logits_idx=n_valid - 1, logits_mode="index", attn_impl=attn_impl,
+        sparse_select=sparse_select,
+    )
+    cache = commit(cache, n_valid, max_new=chunk_tokens.shape[0])
+
+    def put(a, x):
+        return jax.lax.dynamic_update_slice_in_dim(a, x[None], slot, axis=0)
+
+    new = dataclasses.replace(
+        bcache,
+        k=put(bcache.k, cache.k), v=put(bcache.v, cache.v),
+        c1=put(bcache.c1, cache.c1), c2=put(bcache.c2, cache.c2),
+        lengths=bcache.lengths.at[slot].add(n_valid),
+    )
+    return new, logits[0]
+
+
 # ---------------------------------------------------------------------------
 # scheduler
 # ---------------------------------------------------------------------------
@@ -316,16 +409,24 @@ class ContinuousBatchingEngine:
         attn_impl: str = "auto",
         mesh=None,  # (dp, tp) mesh: slots over dp, heads over tp
     ):
-        assert not cfg.apply_sparse, "sparse batching lands in a later round"
         self.cfg = cfg
         self.eng = eng
         self.params = params
         self.attn_impl = attn_impl
         self.max_batch = max_batch
         total = solve_kv_budget(cfg, eng)
-        self.slot_budget = max(128, (total // max_batch) // 128 * 128)
+        if cfg.apply_sparse:
+            # 512-aligned slots (compressed-mirror strides + kernel tiling)
+            from ..cache.batch_sparse_kv import BatchSparseKVCache
+
+            self.slot_budget = max(512, (total // max_batch) // 512 * 512)
+            self.bcache = BatchSparseKVCache.create(
+                cfg, max_batch, self.slot_budget
+            )
+        else:
+            self.slot_budget = max(128, (total // max_batch) // 128 * 128)
+            self.bcache = BatchKVCache.create(cfg, max_batch, self.slot_budget)
         self.rope = llama.make_rope(cfg, self.slot_budget)
-        self.bcache = BatchKVCache.create(cfg, max_batch, self.slot_budget)
         if mesh is not None:
             from ..parallel.pspecs import shard_cache, shard_params
 
@@ -340,6 +441,9 @@ class ContinuousBatchingEngine:
         self._next_id = 0
         self._tokens = np.zeros((max_batch,), np.int32)  # last token per slot
         self._host_lengths = np.zeros((max_batch,), np.int32)  # length mirror
+        # sparse: per-slot compressed-mirror high-water mark (compression
+        # runs once per drained segment, cache.batch_sparse_kv discipline)
+        self._compressed_lengths = np.zeros((max_batch,), np.int32)
         self._requests: Dict[int, Request] = {}  # all submitted, by id
 
     # -- API -----------------------------------------------------------------
@@ -399,6 +503,7 @@ class ContinuousBatchingEngine:
     def step(self) -> List[StepEvent]:
         """Admit + decode one token for every active slot."""
         events: List[StepEvent] = []
+        self._compress_uncommitted()
         self._admit(events)
         if not self.active:
             return events
@@ -440,6 +545,7 @@ class ContinuousBatchingEngine:
         price of batching the readback; admission happens between
         segments)."""
         events: List[StepEvent] = []
+        self._compress_uncommitted()
         self._admit(events)
         if not self.active or k <= 1:
             return events + (self.step() if self.active and k == 1 else [])
@@ -541,9 +647,32 @@ class ContinuousBatchingEngine:
         """Reset device cache lengths to the committed host mirror. Only
         valid with no segment in flight (the device otherwise runs ahead
         of the mirror by the in-flight rows)."""
-        self.bcache = BatchKVCache(
-            self.bcache.k, self.bcache.v, jnp.asarray(self._host_lengths)
+        self.bcache = dataclasses.replace(
+            self.bcache, lengths=jnp.asarray(self._host_lengths)
         )
+
+    def _compress_uncommitted(self):
+        """Sparse only: advance every slot's c1/c2 mirrors over the rows
+        committed since the last compression (once per drained segment —
+        never inside the decode scan, PERF.md item 4). Selection inside a
+        segment reads mirrors <= segment tokens stale, covered by the
+        local window like the single-sequence engine."""
+        if not self.cfg.apply_sparse:
+            return
+        from ..cache.batch_sparse_kv import compress_slots
+
+        committed = self._host_lengths
+        # rollback can leave compressed > committed on freed slots: clamp
+        # to an empty span (their mirrors are rebuilt at readmission)
+        old = np.minimum(self._compressed_lengths, committed)
+        if int((committed - old).max(initial=0)) <= 0:
+            return
+        seg = max(1, self.eng.decode_segment_size)
+        self.bcache = compress_slots(
+            self.bcache, jnp.asarray(old), jnp.asarray(committed),
+            max_new=seg,
+        )
+        self._compressed_lengths = committed.copy()
 
     def run(self) -> Dict[int, List[int]]:
         """Drain the queue; returns request_id -> emitted tokens.
@@ -573,6 +702,7 @@ class ContinuousBatchingEngine:
             events: List[StepEvent] = []
             if pend is None:
                 self._reconcile_lengths()
+                self._compress_uncommitted()
                 self._admit(events)
                 note(events)
                 if self.active:
@@ -580,8 +710,11 @@ class ContinuousBatchingEngine:
                 continue
             # chain unless an admission is actually possible now — a
             # waiting request with no free slot can't be admitted, so
-            # draining for it would only stall the pipeline
-            chain = self.active and not (self.waiting and self.free_slots)
+            # draining for it would only stall the pipeline. Sparse slots
+            # drain every segment: the compression commit must land
+            # between segments (max one segment of mirror staleness).
+            chain = (self.active and not (self.waiting and self.free_slots)
+                     and not self.cfg.apply_sparse)
             nxt = (self._dispatch_segment(seg, tokens_dev=pend["toks"][-1])
                    if chain else None)
             self._process_segment(pend, events)  # overlaps nxt on device
@@ -596,6 +729,16 @@ class ContinuousBatchingEngine:
         req = self._requests.get(rid)
         return req.terminators if req else ()
 
+    def _chunk_sparse_engaged(self, hist: int) -> bool:
+        """Host-side InfLLM-v2 engagement for a chunk starting at history
+        ``hist`` (Engine.sparse_engaged, evaluated per admission chunk)."""
+        cfg = self.cfg
+        if not cfg.apply_sparse:
+            return False
+        stride = 64 if cfg.use_compress_lse else 16
+        clen = max((hist - stride) // stride, 0)
+        return clen * stride > cfg.sparse_switch
+
     def _admit(self, events: List[StepEvent]):
         C = self.eng.chunk_length
         while self.waiting and self.free_slots:
@@ -603,10 +746,10 @@ class ContinuousBatchingEngine:
             slot = self.free_slots.pop(0)
             req.slot = slot
             # reset the slot's length and chunk-prefill the prompt
-            self.bcache = BatchKVCache(
-                self.bcache.k, self.bcache.v,
-                self.bcache.lengths.at[slot].set(0),
+            self.bcache = dataclasses.replace(
+                self.bcache, lengths=self.bcache.lengths.at[slot].set(0),
             )
+            self._compressed_lengths[slot] = 0
             ids = np.asarray(req.prompt_ids, np.int32)
             logits = None
             i = 0
@@ -621,14 +764,24 @@ class ContinuousBatchingEngine:
                 chunk = np.zeros((cw,), np.int32)
                 chunk[:n] = ids[i : i + n]
                 pos = np.arange(i, i + cw, dtype=np.int32)
-                self.bcache, logits = prefill_slot_chunk(
-                    self.cfg, self.params, self.rope, self.bcache,
-                    jnp.asarray(slot, jnp.int32),
-                    jnp.asarray(chunk), jnp.asarray(pos),
-                    jnp.asarray(n, jnp.int32), attn_impl=self.attn_impl,
-                )
+                if self.cfg.apply_sparse:
+                    self.bcache, logits = prefill_slot_chunk_sparse(
+                        self.cfg, self.params, self.rope, self.bcache,
+                        jnp.asarray(slot, jnp.int32),
+                        jnp.asarray(chunk), jnp.asarray(pos),
+                        jnp.asarray(n, jnp.int32), attn_impl=self.attn_impl,
+                        sparse_select=self._chunk_sparse_engaged(i),
+                    )
+                else:
+                    self.bcache, logits = prefill_slot_chunk(
+                        self.cfg, self.params, self.rope, self.bcache,
+                        jnp.asarray(slot, jnp.int32),
+                        jnp.asarray(chunk), jnp.asarray(pos),
+                        jnp.asarray(n, jnp.int32), attn_impl=self.attn_impl,
+                    )
                 i += n
             self._host_lengths[slot] = len(ids)
+            self._compressed_lengths[slot] = len(ids)
             self.key, sub = jax.random.split(self.key)
             t, tk, tp = self._req_sampling(req)
             # traced per-row params: arbitrary HTTP temperatures must not

@@ -172,6 +172,9 @@ def _sparse_kernel(
     emit_lse: bool,
     gs: int = 1,  # g-split: grid axis 0 is (kv head, sub-group); the visit
                   # tables are per kv head (h // gs)
+    kvh_per_slot: int = 0,  # batched-slot mode (sparse_flash_mha_slots):
+                  # grid axis 0 is (slot, kv head) and ``limit_ref`` holds
+                  # one history length per slot instead of one scalar
 ):
     h = pl.program_id(0) // gs
     qi = pl.program_id(1)
@@ -179,7 +182,10 @@ def _sparse_kernel(
     nq = pl.num_programs(1)
     nbk = pl.num_programs(2)
     rows, D = q_ref.shape[2], q_ref.shape[3]
-    limit = limit_ref[0]
+    if kvh_per_slot:
+        limit = limit_ref[pl.program_id(0) // kvh_per_slot]
+    else:
+        limit = limit_ref[0]
     flat = (h * nq + qi) * nbk + b
 
     @pl.when(b == 0)
@@ -467,3 +473,164 @@ def mha_sparse(
         q, k_cache, v_cache, prior_len, tree_mask, window=0, sink=0
     )
     return merge_attn(out_h, lse_h, out_t, lse_t)
+
+
+# ---------------------------------------------------------------------------
+# batched slots (continuous batching, decode-shaped)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layer", "local_blocks", "scale", "bk", "interpret"),
+)
+def sparse_flash_mha_slots(
+    q: jax.Array,  # (B, H, D) — ONE query token per slot
+    k_cache: jax.Array,  # (B, L, KVH, S, D) slot arena
+    v_cache: jax.Array,
+    lengths: jax.Array,  # (B,) committed history rows per slot
+    topk_idx: jax.Array,  # (B, KVH, 1, K) selected block ids per slot
+    topk_valid: jax.Array,  # (B, KVH, 1, K) bool
+    *,
+    layer: int,
+    local_blocks: int,
+    scale: Optional[float] = None,
+    bk: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """Per-slot block-sparse decode attention over the batch arena — the
+    sparse analog of ops.flash.flash_mha_slots: each slot's single query
+    attends its own selected blocks ∪ local window over [0, len_b), in
+    place via slot/layer-indexed BlockSpecs (no per-slot slice copies).
+    The self token is merged outside via the returned LSE. Reuses
+    _sparse_kernel with grid axis 0 = (slot, kv head) and per-slot limits
+    (``kvh_per_slot``). Returns (out (B, H, D), lse (B, H))."""
+    if interpret is None:
+        interpret = _interpret_default()
+    B, H, D = q.shape
+    KVH, S = k_cache.shape[2], k_cache.shape[3]
+    G = H // KVH
+    NB = S // BLOCK
+    K = topk_idx.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    if bk is None:
+        bk = TUNE["decode_bk"] or BK_DECODE
+    assert S % bk == 0, f"slot budget {S} must be a multiple of bk={bk}"
+    bt = 8  # the single token padded to one sublane of query rows
+    rows = G * bt
+    lengths = jnp.asarray(lengths, jnp.int32)
+
+    def tables(idx_b, valid_b, len_b):
+        return build_visit_tables(
+            idx_b, valid_b, len_b[None], len_b, NB, bt,
+            local_blocks=local_blocks, bk=bk,
+        )
+
+    # (B, KVH, 1, nbk) / (B, KVH, 1, bt, nbk)
+    load_idx, visited, blockvis = jax.vmap(tables)(
+        topk_idx, topk_valid, lengths
+    )
+    nbv = min(load_idx.shape[-1], K + local_blocks + 3)
+    if nbv < load_idx.shape[-1]:
+        load_idx, visited = jax.vmap(
+            functools.partial(compact_visit_tables, nbv=nbv)
+        )(load_idx, visited)
+    ngrid = load_idx.shape[-1]
+
+    # (B, H, D) -> (B*KVH, nq=1, G*bt, D), real token at row g*bt
+    qp = jnp.pad(q[:, None], ((0, 0), (0, bt - 1), (0, 0), (0, 0)))
+    qg = (
+        qp.reshape(B, bt, KVH, G, D)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(B * KVH, 1, rows, D)
+    )
+    pos_tiled = jnp.pad(
+        lengths[:, None, None], ((0, 0), (0, 0), (0, bt - 1))
+    )  # (B, 1, bt); padded rows mask to empty (pos 0 < any visited j)
+    # blockvis keeps the FULL tile count (the kernel looks its word up by
+    # tile id); only load/visit were compacted to ngrid steps
+    bvis = blockvis.reshape(B * KVH, 1, bt, blockvis.shape[-1])
+
+    def kv_index(i, qi, b, load_ref, visit_ref, limit_ref):
+        nbb = pl.num_programs(2)
+        return (i // KVH, layer, i % KVH, load_ref[i * nbb + b], 0)
+
+    kernel = functools.partial(
+        _sparse_kernel, scale=scale, g=G, bt=bt, emit_lse=True,
+        kvh_per_slot=KVH,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B * KVH, 1, ngrid),
+            in_specs=[
+                pl.BlockSpec((1, 1, rows, D), lambda i, qi, b, *_: (i, 0, 0, 0)),
+                pl.BlockSpec((1, 1, bt, blockvis.shape[-1]),
+                             lambda i, qi, b, *_: (i, 0, 0, 0)),
+                pl.BlockSpec((1, 1, bt), lambda i, qi, b, *_: (i // KVH, 0, 0)),
+                pl.BlockSpec((1, 1, 1, bk, D), kv_index),
+                pl.BlockSpec((1, 1, 1, bk, D), kv_index),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, rows, D), lambda i, qi, b, *_: (i, 0, 0, 0)),
+                pl.BlockSpec((1, 1, rows, 128), lambda i, qi, b, *_: (i, 0, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((rows, 128), jnp.float32),
+                pltpu.VMEM((rows, 128), jnp.float32),
+                pltpu.VMEM((rows, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B * KVH, 1, rows, D), q.dtype),
+            jax.ShapeDtypeStruct((B * KVH, 1, rows, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        load_idx.reshape(-1), visited.reshape(-1), lengths,
+        qg, bvis, pos_tiled, k_cache, v_cache,
+    )
+
+    out = out.reshape(B, KVH, G, bt, D)[:, :, :, 0].reshape(B, H, D)
+    lse = lse[..., 0].reshape(B, KVH, G, bt)[:, :, :, 0].reshape(B, H)
+    return out, lse
+
+
+def mha_sparse_slots(
+    q, k_cache, v_cache, lengths, topk_idx, topk_valid,
+    *, layer: int, local_blocks: int, impl: str = "auto",
+):
+    """Slot-batched sparse-attention entry (engine.batch_engine decode).
+
+    Pallas visit-table kernel on TPU; XLA materialized-block-mask fallback
+    (per-slot vmap of ops.attention.mha_xla) for tests / non-TPU. History
+    only — the freshly projected self token is LSE-merged by the caller.
+    """
+    d_ok = q.shape[-1] % 128 == 0 and \
+        k_cache.shape[3] % (TUNE["decode_bk"] or BK_DECODE) == 0
+    use_pallas = impl in ("flash", "auto") and (
+        (impl == "flash" and jax.default_backend() != "tpu")  # interpret test
+        or (jax.default_backend() == "tpu" and d_ok)
+    )
+    if use_pallas:
+        return sparse_flash_mha_slots(
+            q, k_cache, v_cache, lengths, topk_idx, topk_valid,
+            layer=layer, local_blocks=local_blocks,
+        )
+
+    from .attention import mha_xla
+    from .sparse import bits_from_topk, block_visibility
+
+    NB = k_cache.shape[3] // BLOCK
+
+    def one(qb, kb, vb, lb, ib, vvb):
+        bits = bits_from_topk(ib, vvb, NB)
+        bm = block_visibility(bits, lb[None], local_blocks=local_blocks)
+        tm0 = jnp.zeros((1, 1), jnp.bool_)  # hide self row: history only
+        out, lse = mha_xla(qb[None], kb[layer], vb[layer], lb, tm0, bm,
+                           return_lse=True)
+        return out[0], lse[:, 0]
+
+    return jax.vmap(one)(q, k_cache, v_cache, lengths, topk_idx, topk_valid)

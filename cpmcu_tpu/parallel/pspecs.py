@@ -97,7 +97,19 @@ def batch_kv_pspec():
     )
 
 
+def batch_sparse_kv_pspec():
+    """Sparse continuous-batching arena: slots over dp, heads over tp
+    (compressed mirrors shard like the dense keys — selection stays
+    per-local-head with no cross-chip reduction, as in sparse_kv_pspec)."""
+    from ..cache.batch_sparse_kv import BatchSparseKVCache
+
+    h = P(AXIS_DP, None, AXIS_TP, None, None)
+    return BatchSparseKVCache(k=h, v=h, c1=h, c2=h, lengths=P(AXIS_DP))
+
+
 def cache_pspec_for(cache):
+    if hasattr(cache, "lengths") and hasattr(cache, "c1"):
+        return batch_sparse_kv_pspec()
     if hasattr(cache, "lengths"):
         return batch_kv_pspec()
     if hasattr(cache, "c1"):

@@ -90,6 +90,41 @@ def test_pipelined_neighbor_finish_no_corruption(tiny):
     assert list(np.asarray(be.bcache.lengths)) == list(be._host_lengths)
 
 
+def test_sparse_batched_matches_single_engine(tiny):
+    """Sparse continuous batching (InfLLM-v2 selection per slot): every
+    batched request must reproduce the single-sequence sparse engine's
+    greedy output exactly, including with interleaved slot lengths and
+    mid-flight finishes."""
+    import dataclasses as dc
+
+    cfg, params = tiny
+    cfg = dc.replace(cfg, apply_sparse=True, sparse_topk_k=2,
+                     block_window_size=2, sparse_switch=64)
+    eng = EngineConfig(chunk_length=64, max_total_length=2048,
+                       decode_segment_size=4)
+    rng = np.random.default_rng(7)
+    # 400 tokens > the complete-visibility horizon (topk+local+sink)*64 =
+    # 320, so its selection genuinely drops blocks; 90 stays dense-complete
+    prompts = [rng.integers(0, 128, size=n).tolist() for n in (400, 150, 90)]
+
+    want = {}
+    single = Engine(cfg, eng, params, attn_impl="xla")
+    engaged = []
+    for i, p in enumerate(prompts):
+        single.reset()
+        toks, _, _ = single.generate(p, generation_length=10)
+        want[i] = toks
+        engaged.append(single.sparse_engaged())
+    assert engaged[0]  # the 200-token prompt must exercise real selection
+
+    be = ContinuousBatchingEngine(cfg, eng, params, attn_impl="xla",
+                                  max_batch=4)
+    ids = [be.submit(p, max_new_tokens=10) for p in prompts]
+    got = be.run()
+    for i, rid in enumerate(ids):
+        assert got[rid] == want[i], f"sparse request {i} diverged"
+
+
 def test_submit_overflow_raises(tiny):
     be = _batch_engine(tiny, max_batch=2)
     with pytest.raises(ValueError):
@@ -148,6 +183,37 @@ def test_sharded_batch_engine(tiny):
     assert all(len(out[r]) == 6 for r in ids)
 
     plain = _batch_engine(tiny, max_batch=4)
+    ids2 = [plain.submit(p, max_new_tokens=6) for p in prompts]
+    out2 = plain.run()
+    for r1, r2 in zip(ids, ids2):
+        assert out[r1] == out2[r2]
+
+
+def test_sharded_sparse_batch_engine(tiny):
+    """Sparse continuous batching under a (dp, tp) mesh (slots over dp,
+    heads + compressed mirrors over tp) must equal the unsharded engine."""
+    import dataclasses
+
+    from cpmcu_tpu.core.mesh import create_mesh
+
+    cfg, params = tiny
+    scfg = dataclasses.replace(
+        cfg, apply_sparse=True, sparse_topk_k=2, block_window_size=2,
+        sparse_switch=64,
+    )
+    eng = EngineConfig(chunk_length=64, max_total_length=2048,
+                       decode_segment_size=4)
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, 128, size=n).tolist() for n in (400, 90)]
+
+    mesh = create_mesh(tp_size=2, dp_size=4)
+    be = ContinuousBatchingEngine(scfg, eng, params, attn_impl="xla",
+                                  max_batch=4, mesh=mesh)
+    ids = [be.submit(p, max_new_tokens=6) for p in prompts]
+    out = be.run()
+
+    plain = ContinuousBatchingEngine(scfg, eng, params, attn_impl="xla",
+                                     max_batch=4)
     ids2 = [plain.submit(p, max_new_tokens=6) for p in prompts]
     out2 = plain.run()
     for r1, r2 in zip(ids, ids2):

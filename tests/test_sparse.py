@@ -351,6 +351,46 @@ def test_sparse_engine_generates():
     assert int(engine.cache.length) >= 200 + 11
 
 
+def test_sparse_slots_kernel_matches_xla_fallback():
+    """Batched-slot sparse decode kernel (sparse_flash_mha_slots, interpret
+    mode) must equal the per-slot XLA materialized-mask fallback — output
+    AND LSE (the caller merges the self token by LSE)."""
+    from cpmcu_tpu.ops.sparse_flash import (
+        mha_sparse_slots, sparse_flash_mha_slots,
+    )
+
+    rng = np.random.default_rng(21)
+    B, L, H, KVH, D = 3, 2, 8, 2, 128
+    S = 1024
+    NB = S // 64
+    layer = 1
+    lengths = np.asarray([700, 130, 512], np.int32)
+
+    q = rng.normal(size=(B, H, D)).astype(np.float32)
+    kc = rng.normal(size=(B, L, KVH, S, D)).astype(np.float32)
+    vc = rng.normal(size=(B, L, KVH, S, D)).astype(np.float32)
+    idx = np.zeros((B, KVH, 1, 4), np.int32)
+    valid = np.zeros((B, KVH, 1, 4), bool)
+    for b in range(B):
+        i, v = _rand_selection(rng, KVH, 1, NB, 4)
+        idx[b], valid[b] = i, v
+
+    got_o, got_l = sparse_flash_mha_slots(
+        jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc),
+        jnp.asarray(lengths), jnp.asarray(idx), jnp.asarray(valid),
+        layer=layer, local_blocks=3, interpret=True, bk=128,
+    )
+    want_o, want_l = mha_sparse_slots(
+        jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc),
+        jnp.asarray(lengths), jnp.asarray(idx), jnp.asarray(valid),
+        layer=layer, local_blocks=3, impl="xla",
+    )
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_oracle_union_collapses_visit_union():
     """The mechanism behind bench --oracle-union: broadcasting one query's
     stage-1 scores makes every query tile select the SAME blocks, so the
