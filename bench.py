@@ -260,17 +260,29 @@ def bench_sparse(cfg, eng, steps=64, prompt_len=32768):
     return bench_decode(cfg, eng, steps=steps, warmup=8, prompt_len=prompt_len)
 
 
-def bench_batch(cfg, eng, steps=64, prompt_len=128, batch=8):
+def bench_batch(cfg, eng, steps=64, prompt_len=128, batch=8, spec=False):
     """Continuous batching aggregate throughput (no reference counterpart).
 
     Prefill (sequential per-slot admission) and lockstep decode are timed
-    separately — mixing them understates both."""
+    separately — mixing them understates both. ``spec`` layers per-slot
+    chain speculation on top (random drafter => accept 1: the number is
+    pure round overhead; real drafters multiply it by the accept rate)."""
     import jax
 
     from cpmcu_tpu.engine.batch_engine import ContinuousBatchingEngine
 
     params = make_params(cfg, jax.random.PRNGKey(0))
-    be = ContinuousBatchingEngine(cfg, eng, params, max_batch=batch)
+    if spec:
+        from cpmcu_tpu.engine.batch_chain_engine import BatchChainSpecEngine
+
+        draft_cfg = dataclasses.replace(
+            cfg, num_layers=max(2, cfg.num_layers // 8), quant_lmhead=False
+        )
+        dparams = make_params(draft_cfg, jax.random.PRNGKey(1))
+        be = BatchChainSpecEngine(cfg, draft_cfg, eng, params, dparams,
+                                  max_batch=batch)
+    else:
+        be = ContinuousBatchingEngine(cfg, eng, params, max_batch=batch)
     rng = np.random.default_rng(0)
 
     def submit_all():
@@ -364,10 +376,13 @@ def main():
         if args.batch:
             if args.sparse:
                 cfg = dataclasses.replace(cfg, apply_sparse=True)
+            assert not (args.sparse and args.spec), (
+                "batched speculation is dense-only (chain rounds)")
             r = bench_batch(cfg, eng, steps=args.steps, prompt_len=args.prompt_len,
-                            batch=args.batch)
+                            batch=args.batch, spec=args.spec)
             mode = f"batch{args.batch}" + (
-                f"-sparse-{args.prompt_len}ctx" if args.sparse else "")
+                f"-sparse-{args.prompt_len}ctx" if args.sparse else "") + (
+                "-chain-spec" if args.spec else "")
         elif args.sparse and args.spec:
             # the reference headline configuration: W4A16 + InfLLM-v2 +
             # EAGLE/FR-Spec at long context (README.md:93-105)

@@ -227,6 +227,159 @@ def batch_decode_step(
     )
 
 
+def batch_forward_tokens(
+    cfg: ModelConfig,
+    params: dict,
+    rope,
+    bcache,  # BatchKVCache (dense arena)
+    tokens: jax.Array,  # (B, T) int32 — T lockstep tokens per slot
+    *,
+    attn_impl: str,
+):
+    """T-token lockstep forward over slot lanes (the multi-token analog of
+    batch_decode_step's body, used by batched chain speculation): each
+    slot's T rows sit at [len_b, len_b+T), attend its full history plus a
+    causal intra-chunk block (LSE-merged like ops.flash.mha_flash), and
+    are written to the slot's lane. Returns (new_k, new_v,
+    logits (B, T, V) fp32) — lengths are NOT advanced; the caller commits
+    per-slot (catch-up commits num_prev, verify commits accept_len).
+
+    All matmuls run at M = B*T rows (weights stream from HBM once per
+    call); the history attention reuses the slot-indexed flash kernel by
+    folding the T tokens into the per-KV-group query rows (every chunk
+    token sees the same [0, len_b) span — intra-chunk causality lives in
+    the merged XLA block)."""
+    import math
+
+    from ..layers.modules import (
+        embedding, gated_ffn, linear, lm_head, rms_norm,
+    )
+    from ..layers.rotary import apply_rope
+    from ..ops.flash import flash_mha_slots, merge_attn
+
+    B, T = tokens.shape
+    rope_cos, rope_sin = rope
+    KVH, G, D = cfg.num_kv_heads, cfg.num_heads // cfg.num_kv_heads, cfg.head_dim
+    H = cfg.num_heads
+    scale = 1.0 / math.sqrt(D)
+    pos = bcache.lengths[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+    rc = rope_cos[pos].reshape(B * T, -1)
+    rs = rope_sin[pos].reshape(B * T, -1)
+    h = embedding(
+        params["embed"], tokens.reshape(-1), cfg.scale_emb, cfg.jnp_dtype
+    )  # (B*T, Hid)
+    lp = params["layers"]
+    res = jnp.asarray(cfg.scale_residual, h.dtype)
+    causal = jnp.tril(jnp.ones((T, T), jnp.bool_))
+    ks_new, vs_new = [], []
+
+    for li in range(cfg.num_layers):
+        nrm = (lp["attn_norm"][li], cfg.rms_norm_eps)
+        if "wqkv" in lp:
+            qkv = linear(lp["wqkv"], h, li, norm=nrm)
+            q = qkv[:, : cfg.q_size].reshape(B * T, H, D)
+            k = qkv[:, cfg.q_size : cfg.q_size + cfg.kv_size].reshape(B * T, KVH, D)
+            v = qkv[:, cfg.q_size + cfg.kv_size :].reshape(B * T, KVH, D)
+        else:
+            q = linear(lp["wq"], h, li, norm=nrm).reshape(B * T, H, D)
+            k = linear(lp["wk"], h, li, norm=nrm).reshape(B * T, KVH, D)
+            v = linear(lp["wv"], h, li, norm=nrm).reshape(B * T, KVH, D)
+        if cfg.use_qk_norm:
+            q = rms_norm(q, lp["q_norm"][li], cfg.rms_norm_eps)
+            k = rms_norm(k, lp["k_norm"][li], cfg.rms_norm_eps)
+        q, k = apply_rope(q, k, rc, rs)
+        qb = q.reshape(B, T, H, D)
+        kb = k.reshape(B, T, KVH, D)
+        vb = v.reshape(B, T, KVH, D)
+
+        # history: fold T tokens into the query rows of the slots kernel
+        # (row order (KVH, T, G) so H' // KVH groups stay per-kv-head)
+        q_fold = (
+            qb.reshape(B, T, KVH, G, D)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(B, KVH * T * G, D)
+        )
+        if attn_impl in ("flash", "auto") and (
+            attn_impl == "flash" or jax.default_backend() == "tpu"
+        ):
+            out_h, lse_h = flash_mha_slots(
+                q_fold, bcache.k, bcache.v, bcache.lengths, layer=li,
+                scale=scale,
+            )
+        else:
+            from ..ops.attention import mha_xla
+
+            # per-slot: all H' folded rows act as one-token queries over
+            # the slot's history (tree mask all-False hides the new rows)
+            def hist(qs, ks, vs, lb):
+                o, l = mha_xla(
+                    qs[None], ks[li], vs[li], lb,
+                    jnp.zeros((1, 1), jnp.bool_), None, return_lse=True,
+                )
+                return o[0], l[:, 0]
+
+            out_h, lse_h = jax.vmap(hist)(
+                q_fold, bcache.k, bcache.v, bcache.lengths
+            )
+        # unfold back to (B, T, H, ...)
+        out_h = (
+            out_h.reshape(B, KVH, T, G, D).transpose(0, 2, 1, 3, 4)
+            .reshape(B, T, H, D)
+        )
+        lse_h = (
+            lse_h.reshape(B, KVH, T, G).transpose(0, 2, 1, 3)
+            .reshape(B, T, H)
+        )
+
+        # intra-chunk causal block (tiny: T x T per slot), fp32 + LSE
+        qf = qb.reshape(B, T, KVH, G, D).astype(jnp.float32)
+        kf = kb.astype(jnp.float32)
+        sc = jnp.einsum("btkgd,bskd->bkgts", qf, kf) * scale
+        sc = jnp.where(causal[None, None, None], sc, float("-inf"))
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        e = jnp.exp(sc - m)
+        den = jnp.sum(e, axis=-1, keepdims=True)
+        out_c = jnp.einsum(
+            "bkgts,bskd->btkgd", e / den, vb.astype(jnp.float32)
+        ).reshape(B, T, H, D)
+        lse_c = (
+            (m + jnp.log(den)).squeeze(-1).transpose(0, 3, 1, 2)
+            .reshape(B, T, H)
+        )
+        out = merge_attn(
+            out_h.astype(jnp.float32), lse_h, out_c, lse_c
+        ).astype(h.dtype)
+
+        attn = linear(lp["wo"], out.reshape(B * T, cfg.q_size), li)
+        h = h + attn * res
+        h = h + gated_ffn(lp, h, layer=li,
+                          norm=(lp["ffn_norm"][li], cfg.rms_norm_eps)) * res
+        ks_new.append(kb)
+        vs_new.append(vb)
+
+    # one batched scatter: (B, L, KVH, T, D) rows at each slot's length
+    k_stack = jnp.stack(ks_new, axis=1).transpose(0, 1, 3, 2, 4)
+    v_stack = jnp.stack(vs_new, axis=1).transpose(0, 1, 3, 2, 4)
+
+    def write_slot(kslot, vslot, kn, vn, p):
+        return (
+            jax.lax.dynamic_update_slice(
+                kslot, kn.astype(kslot.dtype), (0, 0, p, 0)),
+            jax.lax.dynamic_update_slice(
+                vslot, vn.astype(vslot.dtype), (0, 0, p, 0)),
+        )
+
+    new_k, new_v = jax.vmap(write_slot)(
+        bcache.k, bcache.v, k_stack, v_stack, bcache.lengths
+    )
+    logits = lm_head(
+        params["lm_head"], h, cfg.scale_lmhead,
+        norm=(params["final_norm"], cfg.rms_norm_eps),
+        n_out=cfg.vocab_size,
+    ).astype(jnp.float32).reshape(B, T, -1)
+    return new_k, new_v, logits
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "k", "temperature", "top_k", "top_p", "attn_impl"),
@@ -729,6 +882,11 @@ class ContinuousBatchingEngine:
         req = self._requests.get(rid)
         return req.terminators if req else ()
 
+    def _on_admitted(self, req: Request, slot: int, prompt_ids, first_token: int):
+        """Hook: called once per admitted request after its prefill and
+        first-token sample (subclasses add drafter state — see
+        batch_chain_engine)."""
+
     def _chunk_sparse_engaged(self, hist: int) -> bool:
         """Host-side InfLLM-v2 engagement for a chunk starting at history
         ``hist`` (Engine.sparse_engaged, evaluated per admission chunk)."""
@@ -794,6 +952,7 @@ class ContinuousBatchingEngine:
             req.first_token_time = time.time()
             self._tokens[slot] = tok
             req.emitted = 1
+            self._on_admitted(req, slot, ids, tok)
             done = tok in req.terminators or req.max_new_tokens <= 1
             events.append(StepEvent(req.request_id, tok, done))
             if done:

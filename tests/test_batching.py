@@ -153,6 +153,59 @@ def test_interleaved_submission(tiny):
     assert out[a] == want
 
 
+def test_batch_chain_spec_lossless(tiny):
+    """Batched chain speculation must emit exactly the plain batched
+    engine's greedy tokens (speculation is lossless; a random drafter only
+    changes accept lengths), with uneven per-slot accepts and a mid-flight
+    finish."""
+    import dataclasses as dc
+
+    from cpmcu_tpu.engine.batch_chain_engine import BatchChainSpecEngine
+
+    cfg, params = tiny
+    eng = EngineConfig(chunk_length=16, max_total_length=256,
+                       spec_num_iter=3)
+    prompts = [[1, 2, 3], [50, 60], [7, 8, 9, 10, 11]]
+
+    plain = _batch_engine(tiny, max_batch=4)
+    wids = [plain.submit(p, max_new_tokens=9) for p in prompts]
+    want = plain.run()
+
+    dcfg = dc.replace(cfg, num_layers=1)
+    dparams = llama.init_params(dcfg, jax.random.PRNGKey(9))
+    be = BatchChainSpecEngine(cfg, dcfg, eng, params, dparams,
+                              max_batch=4, attn_impl="xla")
+    ids = [be.submit(p, max_new_tokens=9) for p in prompts]
+    out = be.run()
+    for w, r in zip(wids, ids):
+        assert out[r] == want[w], "chain-spec output diverged from plain"
+    assert be.mean_accept_length() >= 1.0
+
+
+def test_batch_chain_spec_oracle_accept(tiny):
+    """Self-drafting (draft model == base model) must accept the full
+    chain every round — the deterministic accept == num_iter+1 fixture —
+    while staying lossless."""
+    from cpmcu_tpu.engine.batch_chain_engine import BatchChainSpecEngine
+
+    cfg, params = tiny
+    eng = EngineConfig(chunk_length=16, max_total_length=256,
+                       spec_num_iter=3)
+    prompts = [[1, 2, 3], [7, 8, 9, 10, 11]]
+
+    plain = _batch_engine(tiny, max_batch=2)
+    wids = [plain.submit(p, max_new_tokens=12) for p in prompts]
+    want = plain.run()
+
+    be = BatchChainSpecEngine(cfg, cfg, eng, params, params,
+                              max_batch=2, attn_impl="xla")
+    ids = [be.submit(p, max_new_tokens=12) for p in prompts]
+    out = be.run()
+    for w, r in zip(wids, ids):
+        assert out[r] == want[w]
+    assert be.mean_accept_length() == eng.spec_num_iter + 1
+
+
 # ---------------------------------------------------------------------------
 # mesh-sharded engines
 # ---------------------------------------------------------------------------
