@@ -273,6 +273,36 @@ def test_sharded_sparse_batch_engine(tiny):
         assert out[r1] == out2[r2]
 
 
+def test_sharded_batch_chain_spec_engine(tiny):
+    """Batched chain speculation under a (dp, tp) mesh must equal the
+    unsharded engine's output."""
+    import dataclasses as dc
+
+    from cpmcu_tpu.core.mesh import create_mesh
+    from cpmcu_tpu.engine.batch_chain_engine import BatchChainSpecEngine
+
+    cfg, params = tiny
+    eng = EngineConfig(chunk_length=16, max_total_length=256,
+                       spec_num_iter=3)
+    dcfg = dc.replace(cfg, num_layers=1)
+    dparams = llama.init_params(dcfg, jax.random.PRNGKey(9))
+    prompts = [[1, 2, 3], [7, 8, 9, 10, 11]]
+
+    plain = BatchChainSpecEngine(cfg, dcfg, eng, params, dparams,
+                                 max_batch=4, attn_impl="xla")
+    wids = [plain.submit(p, max_new_tokens=8) for p in prompts]
+    want = plain.run()
+
+    mesh = create_mesh(tp_size=2, dp_size=4)
+    # slot axis shards over dp: max_batch must be divisible by dp
+    be = BatchChainSpecEngine(cfg, dcfg, eng, params, dparams,
+                              max_batch=4, attn_impl="xla", mesh=mesh)
+    ids = [be.submit(p, max_new_tokens=8) for p in prompts]
+    out = be.run()
+    for w, r in zip(wids, ids):
+        assert out[r] == want[w]
+
+
 def test_sharded_sparse_engine(tiny):
     from cpmcu_tpu.core.mesh import create_mesh
 
