@@ -272,7 +272,7 @@ def bench_batch(cfg, eng, steps=64, prompt_len=128, batch=8, spec=False):
     from cpmcu_tpu.engine.batch_engine import ContinuousBatchingEngine
 
     params = make_params(cfg, jax.random.PRNGKey(0))
-    if spec:
+    if spec == "chain":
         from cpmcu_tpu.engine.batch_chain_engine import BatchChainSpecEngine
 
         draft_cfg = dataclasses.replace(
@@ -281,6 +281,25 @@ def bench_batch(cfg, eng, steps=64, prompt_len=128, batch=8, spec=False):
         dparams = make_params(draft_cfg, jax.random.PRNGKey(1))
         be = BatchChainSpecEngine(cfg, draft_cfg, eng, params, dparams,
                                   max_batch=batch)
+    elif spec:
+        import jax.numpy as jnp
+
+        from cpmcu_tpu.engine.batch_spec_engine import BatchSpecEngine
+        from cpmcu_tpu.spec.eagle import EagleConfig, init_eagle_params
+
+        draft_cfg = dataclasses.replace(cfg, num_layers=1,
+                                        quant_lmhead=False)
+        ecfg = EagleConfig(model=draft_cfg, num_iter=2, topk_per_iter=10,
+                           tree_size=12, window=0, use_input_norm=True,
+                           use_attn_norm=True, frspec_vocab_size=32768)
+        eparams = init_eagle_params(ecfg, jax.random.PRNGKey(1))
+        H = cfg.hidden_size
+        eparams["lm_head"] = {"w": (jax.random.normal(
+            jax.random.PRNGKey(2), (H, 32768), jnp.float32
+        ) * 0.02).astype(cfg.jnp_dtype)}
+        eparams["token_id_remap"] = jnp.arange(32768, dtype=jnp.int32)
+        be = BatchSpecEngine(cfg, ecfg, eng, params, eparams,
+                             max_batch=batch)
     else:
         be = ContinuousBatchingEngine(cfg, eng, params, max_batch=batch)
     rng = np.random.default_rng(0)
@@ -377,12 +396,16 @@ def main():
             if args.sparse:
                 cfg = dataclasses.replace(cfg, apply_sparse=True)
             assert not (args.sparse and args.spec), (
-                "batched speculation is dense-only (chain rounds)")
+                "batched speculation is dense-only")
+            if args.spec:
+                assert args.spec_type in ("eagle2", "chain"), (
+                    "batched speculation supports eagle2|chain")
+            spec = args.spec_type if args.spec else False
             r = bench_batch(cfg, eng, steps=args.steps, prompt_len=args.prompt_len,
-                            batch=args.batch, spec=args.spec)
+                            batch=args.batch, spec=spec)
             mode = f"batch{args.batch}" + (
                 f"-sparse-{args.prompt_len}ctx" if args.sparse else "") + (
-                "-chain-spec" if args.spec else "")
+                f"-{args.spec_type}-spec" if args.spec else "")
         elif args.sparse and args.spec:
             # the reference headline configuration: W4A16 + InfLLM-v2 +
             # EAGLE/FR-Spec at long context (README.md:93-105)

@@ -39,7 +39,8 @@ run sparse_96k_ou python bench.py --sparse --oracle-union --prompt-len 98304 --s
 run sparse_spec_ou python bench.py --sparse --spec --oracle-union --oracle-accept --prompt-len 32768 --steps 64
 run batch_8      python bench.py --batch 8 --steps 64
 run batch_4_sparse python bench.py --batch 4 --sparse --prompt-len 8192 --steps 64
-run batch_8_chain_spec python bench.py --batch 8 --spec --steps 64
+run batch_8_chain_spec python bench.py --batch 8 --spec --spec-type chain --steps 64
+run batch_8_eagle_spec python bench.py --batch 8 --spec --steps 64
 
 # dataset-eval machinery end-to-end on TPU (VERDICT r1 item 4); the runner
 # prints its own summary lines — record its exit status only

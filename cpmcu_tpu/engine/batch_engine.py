@@ -235,6 +235,12 @@ def batch_forward_tokens(
     tokens: jax.Array,  # (B, T) int32 — T lockstep tokens per slot
     *,
     attn_impl: str,
+    positions: Optional[jax.Array] = None,  # (B, T) rope/absolute positions
+    # (default lengths+arange — tree decode passes per-slot depth positions)
+    tree_mask: Optional[jax.Array] = None,  # (B, T, T) per-slot visibility
+    # among the T new rows (default: causal, shared across slots)
+    return_hidden: bool = False,  # also return the post-final-norm hidden
+    # (B, T, H) — the EAGLE drafter input rows
 ):
     """T-token lockstep forward over slot lanes (the multi-token analog of
     batch_decode_step's body, used by batched chain speculation): each
@@ -262,7 +268,10 @@ def batch_forward_tokens(
     KVH, G, D = cfg.num_kv_heads, cfg.num_heads // cfg.num_kv_heads, cfg.head_dim
     H = cfg.num_heads
     scale = 1.0 / math.sqrt(D)
-    pos = bcache.lengths[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+    if positions is None:
+        pos = bcache.lengths[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+    else:
+        pos = jnp.asarray(positions, jnp.int32)
     rc = rope_cos[pos].reshape(B * T, -1)
     rs = rope_sin[pos].reshape(B * T, -1)
     h = embedding(
@@ -331,11 +340,14 @@ def batch_forward_tokens(
             .reshape(B, T, H)
         )
 
-        # intra-chunk causal block (tiny: T x T per slot), fp32 + LSE
+        # intra-chunk masked block (tiny: T x T per slot), fp32 + LSE
         qf = qb.reshape(B, T, KVH, G, D).astype(jnp.float32)
         kf = kb.astype(jnp.float32)
         sc = jnp.einsum("btkgd,bskd->bkgts", qf, kf) * scale
-        sc = jnp.where(causal[None, None, None], sc, float("-inf"))
+        if tree_mask is None:
+            sc = jnp.where(causal[None, None, None], sc, float("-inf"))
+        else:
+            sc = jnp.where(tree_mask[:, None, None], sc, float("-inf"))
         m = jnp.max(sc, axis=-1, keepdims=True)
         e = jnp.exp(sc - m)
         den = jnp.sum(e, axis=-1, keepdims=True)
@@ -377,6 +389,9 @@ def batch_forward_tokens(
         norm=(params["final_norm"], cfg.rms_norm_eps),
         n_out=cfg.vocab_size,
     ).astype(jnp.float32).reshape(B, T, -1)
+    if return_hidden:
+        normed = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+        return new_k, new_v, logits, normed.reshape(B, T, -1)
     return new_k, new_v, logits
 
 

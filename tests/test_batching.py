@@ -206,6 +206,65 @@ def test_batch_chain_spec_oracle_accept(tiny):
     assert be.mean_accept_length() == eng.spec_num_iter + 1
 
 
+def test_batch_eagle_spec_lossless(tiny):
+    """Batched EAGLE-2 tree speculation must emit exactly the plain batched
+    engine's greedy tokens (a random drafter only changes accept lengths)."""
+    import dataclasses as dc
+
+    from cpmcu_tpu.engine.batch_spec_engine import BatchSpecEngine
+    from cpmcu_tpu.spec.eagle import EagleConfig, init_eagle_params
+
+    cfg, params = tiny
+    eng = EngineConfig(chunk_length=16, max_total_length=256)
+    prompts = [[1, 2, 3], [50, 60], [7, 8, 9, 10, 11]]
+
+    plain = _batch_engine(tiny, max_batch=4)
+    wids = [plain.submit(p, max_new_tokens=9) for p in prompts]
+    want = plain.run()
+
+    dcfg = dc.replace(cfg, num_layers=1)
+    ecfg = EagleConfig(model=dcfg, num_iter=2, topk_per_iter=3, tree_size=6)
+    eparams = init_eagle_params(ecfg, jax.random.PRNGKey(5))
+    be = BatchSpecEngine(cfg, ecfg, eng, params, eparams,
+                         max_batch=4, attn_impl="xla")
+    ids = [be.submit(p, max_new_tokens=9) for p in prompts]
+    out = be.run()
+    for w, r in zip(wids, ids):
+        assert out[r] == want[w], "batched eagle output diverged from plain"
+    assert be.mean_accept_length() >= 1.0
+
+
+def test_batch_eagle_spec_oracle_accept(tiny):
+    """Bigram-oracle drafter (test_spec fixture): every full round accepts
+    the whole chain — drives the batched drafter catch-up, tree expansion,
+    multi-token emit and per-slot compaction with accept_len > 1 — while
+    staying lossless."""
+    from test_spec import _bigram_base_and_oracle_drafter
+
+    from cpmcu_tpu.engine.batch_spec_engine import BatchSpecEngine
+
+    cfg, _ = tiny
+    params, ecfg, eparams = _bigram_base_and_oracle_drafter(
+        cfg, jax.random.PRNGKey(0)
+    )
+    eng = EngineConfig(chunk_length=16, max_total_length=256)
+    prompts = [[3, 14, 15, 9], [1, 2]]
+
+    plain = ContinuousBatchingEngine(cfg, eng, params, attn_impl="xla",
+                                     max_batch=2)
+    wids = [plain.submit(p, max_new_tokens=20) for p in prompts]
+    want = plain.run()
+
+    be = BatchSpecEngine(cfg, ecfg, eng, params, eparams,
+                         max_batch=2, attn_impl="xla")
+    ids = [be.submit(p, max_new_tokens=20) for p in prompts]
+    out = be.run()
+    for w, r in zip(wids, ids):
+        assert out[r] == want[w]
+    assert be.mean_accept_length() > 1.5
+    assert max(be.accept_lengths) == ecfg.num_iter + 1
+
+
 # ---------------------------------------------------------------------------
 # mesh-sharded engines
 # ---------------------------------------------------------------------------
