@@ -155,6 +155,10 @@ class BatchChainSpecEngine(ContinuousBatchingEngine):
     dispatch (1..num_iter+1 tokens each), pipelined one round deep. The
     greedy output per request is identical to the plain batched engine
     (speculation is lossless) — accept length only changes throughput.
+
+    Sampling: verification uses the ENGINE-default temperature for all
+    slots (like the single-sequence spec engines); per-request temperatures
+    apply to the admission-time first token only.
     """
 
     def __init__(
@@ -334,12 +338,17 @@ class BatchChainSpecEngine(ContinuousBatchingEngine):
         return (float(np.mean(self.accept_lengths))
                 if self.accept_lengths else 0.0)
 
-    # per-token step()/step_segment() are dense-engine paths; rounds are
-    # the only decode mode here
-    def step(self):  # pragma: no cover - guard
-        raise NotImplementedError("BatchChainSpecEngine decodes in rounds; "
-                                  "use run()")
+    def step(self) -> List[StepEvent]:
+        """Admit + advance every active slot by one speculative round
+        (1..num_iter+1 tokens each) — the serving backend's pump unit."""
+        events: List[StepEvent] = []
+        self._reconcile_lengths()
+        self._admit(events)
+        if self.active:
+            self._process_round(self._dispatch_round(), events)
+        return events
 
-    def step_segment(self, k):  # pragma: no cover - guard
-        raise NotImplementedError("BatchChainSpecEngine decodes in rounds; "
-                                  "use run()")
+    def step_segment(self, k) -> List[StepEvent]:
+        """One round per call (a speculative round already advances up to
+        num_iter+1 tokens; pipelining lives in run())."""
+        return self.step()

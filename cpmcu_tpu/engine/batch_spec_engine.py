@@ -233,7 +233,12 @@ def batch_spec_round(
 
 
 class BatchSpecEngine(ContinuousBatchingEngine):
-    """Continuous batching with per-slot EAGLE-2 tree speculation."""
+    """Continuous batching with per-slot EAGLE-2 tree speculation.
+
+    Sampling: verification uses the ENGINE-default temperature for all
+    slots (like the single-sequence spec engines); per-request temperatures
+    apply to the admission-time first token only.
+    """
 
     def __init__(
         self,
@@ -492,10 +497,16 @@ class BatchSpecEngine(ContinuousBatchingEngine):
         return (float(np.mean(self.accept_lengths))
                 if self.accept_lengths else 0.0)
 
-    def step(self):  # pragma: no cover - guard
-        raise NotImplementedError("BatchSpecEngine decodes in rounds; "
-                                  "use run()")
+    def step(self) -> List[StepEvent]:
+        """Admit + advance every active slot by one speculative round
+        (1..tree-path tokens each) — the serving backend's pump unit."""
+        events: List[StepEvent] = []
+        self._reconcile_lengths()
+        self._admit(events)
+        if self.active:
+            self._process_round(self._dispatch_round(), events)
+        return events
 
-    def step_segment(self, k):  # pragma: no cover - guard
-        raise NotImplementedError("BatchSpecEngine decodes in rounds; "
-                                  "use run()")
+    def step_segment(self, k) -> List[StepEvent]:
+        """One round per call (pipelining lives in run())."""
+        return self.step()

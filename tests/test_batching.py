@@ -206,6 +206,42 @@ def test_batch_chain_spec_oracle_accept(tiny):
     assert be.mean_accept_length() == eng.spec_num_iter + 1
 
 
+def test_batch_forward_tokens_flash_matches_xla(tiny):
+    """The multi-token slots forward folds T tokens into the flash-slots
+    kernel's query rows on TPU; the interpret-mode kernel path must match
+    the XLA fallback (this is the path the TPU chain/eagle benches take)."""
+    import jax.numpy as jnp
+
+    from cpmcu_tpu.engine.batch_engine import (
+        BatchKVCache, batch_forward_tokens,
+    )
+
+    cfg, params = tiny
+    B, T, S = 3, 4, 64
+    bcache = BatchKVCache.create(cfg, B, S)
+    rng = np.random.default_rng(3)
+    # commit some history per slot first
+    hist = jnp.asarray(rng.normal(size=(B, cfg.num_layers, cfg.num_kv_heads,
+                                        S, cfg.head_dim)).astype(np.float32))
+    lengths = jnp.asarray([10, 3, 7], jnp.int32)
+    bcache = BatchKVCache(hist, hist * 0.5, lengths)
+    rope = llama.make_rope(cfg, S)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, T)),
+                         jnp.int32)
+
+    outs = {}
+    for impl in ("xla", "flash"):
+        _, _, logits, hid = batch_forward_tokens(
+            cfg, params, rope, bcache, tokens, attn_impl=impl,
+            return_hidden=True,
+        )
+        outs[impl] = (np.asarray(logits), np.asarray(hid))
+    np.testing.assert_allclose(outs["xla"][0], outs["flash"][0],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(outs["xla"][1], outs["flash"][1],
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_batch_eagle_spec_lossless(tiny):
     """Batched EAGLE-2 tree speculation must emit exactly the plain batched
     engine's greedy tokens (a random drafter only changes accept lengths)."""

@@ -322,6 +322,55 @@ def test_batch_server_stream(batch_server):
     assert events[-1] == "[DONE]"
 
 
+@pytest.fixture(scope="module")
+def spec_batch_server(tiny_engine):
+    """OpenAI server over the batched EAGLE-2 engine (speculative
+    continuous batching in the serving path)."""
+    import dataclasses as dc
+
+    import jax
+
+    from cpmcu_tpu.core.config import EngineConfig
+    from cpmcu_tpu.engine.batch_spec_engine import BatchSpecEngine
+    from cpmcu_tpu.serve.batch_backend import BatchChatBackend
+    from cpmcu_tpu.serve.server import make_stdlib_server
+    from cpmcu_tpu.spec.eagle import EagleConfig, init_eagle_params
+
+    engine, _ = tiny_engine
+    dcfg = dc.replace(engine.cfg, num_layers=1)
+    ecfg = EagleConfig(model=dcfg, num_iter=2, topk_per_iter=3, tree_size=6)
+    eparams = init_eagle_params(ecfg, jax.random.PRNGKey(5))
+    be = BatchSpecEngine(
+        engine.cfg, ecfg, EngineConfig(chunk_length=32, max_total_length=512),
+        engine.params, eparams, max_batch=2, attn_impl="xla",
+    )
+    backend = BatchChatBackend(be, FakeTokenizer(), model_name="tiny-spec")
+    httpd = make_stdlib_server(backend, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def test_spec_batch_server_concurrent(spec_batch_server):
+    """Concurrent requests decode through speculative rounds (the pump
+    drives BatchSpecEngine.step(); each round can emit several tokens)."""
+    import concurrent.futures
+
+    def ask(i):
+        with _post(spec_batch_server + "/v1/chat/completions", {
+            "model": "tiny-spec", "max_tokens": 8,
+            "messages": [{"role": "user", "content": f"prompt {i}"}],
+        }) as r:
+            return json.loads(r.read())
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
+        outs = list(ex.map(ask, range(2)))
+    for out in outs:
+        assert out["object"] == "chat.completion"
+        assert 1 <= out["usage"]["completion_tokens"] <= 8
+
+
 def test_batch_server_mixed_temperatures(batch_server):
     """Two concurrent requests with DIFFERENT temperatures batch together:
     per-slot sampling vectors (ops.sampling.sample_per_row) instead of the
