@@ -395,11 +395,12 @@ def main():
         if args.batch:
             if args.sparse:
                 cfg = dataclasses.replace(cfg, apply_sparse=True)
-            assert not (args.sparse and args.spec), (
-                "batched speculation is dense-only")
             if args.spec:
                 assert args.spec_type in ("eagle2", "chain"), (
                     "batched speculation supports eagle2|chain")
+            if args.sparse and args.spec:
+                assert args.spec_type == "chain", (
+                    "sparse batched speculation is chain-only")
             spec = args.spec_type if args.spec else False
             r = bench_batch(cfg, eng, steps=args.steps, prompt_len=args.prompt_len,
                             batch=args.batch, spec=spec)

@@ -173,10 +173,6 @@ class BatchChainSpecEngine(ContinuousBatchingEngine):
         attn_impl: str = "auto",
         mesh=None,
     ):
-        assert not cfg.apply_sparse, (
-            "batched chain speculation is dense-only; use the single-"
-            "sequence ChainSpecEngine for the sparse+spec stack"
-        )
         assert not draft_cfg.apply_sparse
         super().__init__(cfg, eng, params, max_batch=max_batch,
                          attn_impl=attn_impl, mesh=mesh)
@@ -188,8 +184,21 @@ class BatchChainSpecEngine(ContinuousBatchingEngine):
         # clamped dynamic_update_slice near capacity would overwrite a
         # continuing slot's committed rows
         pad = (S + 8 + 127) // 128 * 128
-        self.arena_budget = self.slot_budget + pad
-        self.bcache = BatchKVCache.create(cfg, max_batch, self.arena_budget)
+        if cfg.apply_sparse:
+            # sparse chain: InfLLM-v2 selection per slot/token inside the
+            # base chain decode (batch_forward_tokens sparse branch); the
+            # drafter stays dense like the reference's SpecMQuant pairing
+            from ..cache.batch_sparse_kv import BatchSparseKVCache
+
+            self.arena_budget = (self.slot_budget + pad + 511) // 512 * 512
+            self.bcache = BatchSparseKVCache.create(
+                cfg, max_batch, self.arena_budget
+            )
+        else:
+            self.arena_budget = self.slot_budget + pad
+            self.bcache = BatchKVCache.create(
+                cfg, max_batch, self.arena_budget
+            )
         self.rope = llama.make_rope(cfg, self.arena_budget)
         self.dbcache = BatchKVCache.create(
             draft_cfg, max_batch, self.arena_budget
@@ -320,12 +329,16 @@ class BatchChainSpecEngine(ContinuousBatchingEngine):
             events: List[StepEvent] = []
             if pend is None:
                 self._reconcile_lengths()
+                self._compress_uncommitted()
                 self._admit(events)
                 note(events)
                 if self.active:
                     pend = self._dispatch_round()
                 continue
-            chain = self.active and not (self.waiting and self.free_slots)
+            # sparse slots drain every round (the compression commit must
+            # land between rounds, batch_engine.run semantics)
+            chain = (self.active and not (self.waiting and self.free_slots)
+                     and not self.cfg.apply_sparse)
             nxt = (self._dispatch_round(chain_dev=pend["chain"])
                    if chain else None)
             self._process_round(pend, events)  # overlaps nxt on device
@@ -343,6 +356,7 @@ class BatchChainSpecEngine(ContinuousBatchingEngine):
         (1..num_iter+1 tokens each) — the serving backend's pump unit."""
         events: List[StepEvent] = []
         self._reconcile_lengths()
+        self._compress_uncommitted()
         self._admit(events)
         if self.active:
             self._process_round(self._dispatch_round(), events)

@@ -301,44 +301,76 @@ def batch_forward_tokens(
         kb = k.reshape(B, T, KVH, D)
         vb = v.reshape(B, T, KVH, D)
 
-        # history: fold T tokens into the query rows of the slots kernel
-        # (row order (KVH, T, G) so H' // KVH groups stay per-kv-head)
-        q_fold = (
-            qb.reshape(B, T, KVH, G, D)
-            .transpose(0, 2, 1, 3, 4)
-            .reshape(B, KVH * T * G, D)
-        )
-        if attn_impl in ("flash", "auto") and (
-            attn_impl == "flash" or jax.default_backend() == "tpu"
-        ):
-            out_h, lse_h = flash_mha_slots(
-                q_fold, bcache.k, bcache.v, bcache.lengths, layer=li,
-                scale=scale,
+        if cfg.apply_sparse:
+            # per-slot, per-token InfLLM-v2 selection over the committed
+            # compressed mirrors + the T-token sparse slots kernel
+            from ..ops.sparse import (
+                C1_STRIDE, C2_STRIDE, c_len_of, select_blocks, stage1_scores,
+            )
+            from ..ops.sparse_flash import mha_sparse_slots
+
+            def sel(qs, c1b, c2b, lb, pb):
+                sc = stage1_scores(
+                    qs, c1b, c2b,
+                    c_len_of(lb, C1_STRIDE), c_len_of(lb, C2_STRIDE),
+                    use_lse=cfg.use_compress_lse,
+                )
+                if cfg.sparse_oracle_union:
+                    sc = jnp.broadcast_to(sc[:, -1:, :], sc.shape)
+                idx, vld, _ = select_blocks(
+                    sc, pb, lb, topk=cfg.sparse_topk_k,
+                    init_blocks=cfg.sink_window_size,
+                    local_blocks=cfg.block_window_size,
+                )
+                return idx, vld
+
+            tki, tkv = jax.vmap(sel)(
+                qb, bcache.c1[:, li], bcache.c2[:, li], bcache.lengths, pos
+            )
+            out_h, lse_h = mha_sparse_slots(
+                qb, bcache.k, bcache.v, bcache.lengths, tki, tkv, pos,
+                layer=li, local_blocks=cfg.block_window_size,
+                impl=attn_impl,
             )
         else:
-            from ..ops.attention import mha_xla
-
-            # per-slot: all H' folded rows act as one-token queries over
-            # the slot's history (tree mask all-False hides the new rows)
-            def hist(qs, ks, vs, lb):
-                o, l = mha_xla(
-                    qs[None], ks[li], vs[li], lb,
-                    jnp.zeros((1, 1), jnp.bool_), None, return_lse=True,
-                )
-                return o[0], l[:, 0]
-
-            out_h, lse_h = jax.vmap(hist)(
-                q_fold, bcache.k, bcache.v, bcache.lengths
+            # history: fold T tokens into the query rows of the slots
+            # kernel (row order (KVH, T, G) keeps groups per-kv-head)
+            q_fold = (
+                qb.reshape(B, T, KVH, G, D)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(B, KVH * T * G, D)
             )
-        # unfold back to (B, T, H, ...)
-        out_h = (
-            out_h.reshape(B, KVH, T, G, D).transpose(0, 2, 1, 3, 4)
-            .reshape(B, T, H, D)
-        )
-        lse_h = (
-            lse_h.reshape(B, KVH, T, G).transpose(0, 2, 1, 3)
-            .reshape(B, T, H)
-        )
+            if attn_impl in ("flash", "auto") and (
+                attn_impl == "flash" or jax.default_backend() == "tpu"
+            ):
+                out_h, lse_h = flash_mha_slots(
+                    q_fold, bcache.k, bcache.v, bcache.lengths, layer=li,
+                    scale=scale,
+                )
+            else:
+                from ..ops.attention import mha_xla
+
+                # per-slot: all H' folded rows act as one-token queries
+                # over the slot's history (all-False mask hides new rows)
+                def hist(qs, ks, vs, lb):
+                    o, l = mha_xla(
+                        qs[None], ks[li], vs[li], lb,
+                        jnp.zeros((1, 1), jnp.bool_), None, return_lse=True,
+                    )
+                    return o[0], l[:, 0]
+
+                out_h, lse_h = jax.vmap(hist)(
+                    q_fold, bcache.k, bcache.v, bcache.lengths
+                )
+            # unfold back to (B, T, H, ...)
+            out_h = (
+                out_h.reshape(B, KVH, T, G, D).transpose(0, 2, 1, 3, 4)
+                .reshape(B, T, H, D)
+            )
+            lse_h = (
+                lse_h.reshape(B, KVH, T, G).transpose(0, 2, 1, 3)
+                .reshape(B, T, H)
+            )
 
         # intra-chunk masked block (tiny: T x T per slot), fp32 + LSE
         qf = qb.reshape(B, T, KVH, G, D).astype(jnp.float32)
@@ -835,7 +867,10 @@ class ContinuousBatchingEngine:
         old = np.minimum(self._compressed_lengths, committed)
         if int((committed - old).max(initial=0)) <= 0:
             return
-        seg = max(1, self.eng.decode_segment_size)
+        # static span bound: one decode segment, or one speculative round
+        # (num_iter+1 rows) for the batched chain engine
+        seg = max(1, self.eng.decode_segment_size,
+                  getattr(self, "num_iter", 0) + 1)
         self.bcache = compress_slots(
             self.bcache, jnp.asarray(old), jnp.asarray(committed),
             max_new=seg,

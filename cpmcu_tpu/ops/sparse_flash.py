@@ -485,12 +485,13 @@ def mha_sparse(
     static_argnames=("layer", "local_blocks", "scale", "bk", "interpret"),
 )
 def sparse_flash_mha_slots(
-    q: jax.Array,  # (B, H, D) — ONE query token per slot
+    q: jax.Array,  # (B, T, H, D) — T lockstep query tokens per slot
     k_cache: jax.Array,  # (B, L, KVH, S, D) slot arena
     v_cache: jax.Array,
     lengths: jax.Array,  # (B,) committed history rows per slot
-    topk_idx: jax.Array,  # (B, KVH, 1, K) selected block ids per slot
-    topk_valid: jax.Array,  # (B, KVH, 1, K) bool
+    topk_idx: jax.Array,  # (B, KVH, T, K) selected block ids per slot/token
+    topk_valid: jax.Array,  # (B, KVH, T, K) bool
+    positions: jax.Array,  # (B, T) absolute query positions
     *,
     layer: int,
     local_blocks: int,
@@ -498,16 +499,17 @@ def sparse_flash_mha_slots(
     bk: Optional[int] = None,
     interpret: Optional[bool] = None,
 ):
-    """Per-slot block-sparse decode attention over the batch arena — the
-    sparse analog of ops.flash.flash_mha_slots: each slot's single query
-    attends its own selected blocks ∪ local window over [0, len_b), in
-    place via slot/layer-indexed BlockSpecs (no per-slot slice copies).
-    The self token is merged outside via the returned LSE. Reuses
-    _sparse_kernel with grid axis 0 = (slot, kv head) and per-slot limits
-    (``kvh_per_slot``). Returns (out (B, H, D), lse (B, H))."""
+    """Per-slot block-sparse attention over the batch arena — the sparse
+    analog of ops.flash.flash_mha_slots: each slot's T queries attend its
+    own selected blocks ∪ local window over [0, len_b), in place via
+    slot/layer-indexed BlockSpecs (no per-slot slice copies). History only
+    — the caller merges the new rows (self token / intra-chunk block) by
+    LSE. Reuses _sparse_kernel with grid axis 0 = (slot, kv head) and
+    per-slot limits (``kvh_per_slot``). Returns (out (B, T, H, D),
+    lse (B, T, H))."""
     if interpret is None:
         interpret = _interpret_default()
-    B, H, D = q.shape
+    B, T, H, D = q.shape
     KVH, S = k_cache.shape[2], k_cache.shape[3]
     G = H // KVH
     NB = S // BLOCK
@@ -517,36 +519,38 @@ def sparse_flash_mha_slots(
     if bk is None:
         bk = TUNE["decode_bk"] or BK_DECODE
     assert S % bk == 0, f"slot budget {S} must be a multiple of bk={bk}"
-    bt = 8  # the single token padded to one sublane of query rows
+    bt = _round_up(T, 8)  # query-tile rows (one tile per slot)
     rows = G * bt
     lengths = jnp.asarray(lengths, jnp.int32)
+    positions = jnp.asarray(positions, jnp.int32)
 
-    def tables(idx_b, valid_b, len_b):
+    def tables(idx_b, valid_b, pos_b, len_b):
         return build_visit_tables(
-            idx_b, valid_b, len_b[None], len_b, NB, bt,
+            idx_b, valid_b, pos_b, len_b, NB, bt,
             local_blocks=local_blocks, bk=bk,
         )
 
     # (B, KVH, 1, nbk) / (B, KVH, 1, bt, nbk)
     load_idx, visited, blockvis = jax.vmap(tables)(
-        topk_idx, topk_valid, lengths
+        topk_idx, topk_valid, positions, lengths
     )
-    nbv = min(load_idx.shape[-1], K + local_blocks + 3)
+    nbv = min(load_idx.shape[-1], T * K + local_blocks + 3)
     if nbv < load_idx.shape[-1]:
         load_idx, visited = jax.vmap(
             functools.partial(compact_visit_tables, nbv=nbv)
         )(load_idx, visited)
     ngrid = load_idx.shape[-1]
 
-    # (B, H, D) -> (B*KVH, nq=1, G*bt, D), real token at row g*bt
-    qp = jnp.pad(q[:, None], ((0, 0), (0, bt - 1), (0, 0), (0, 0)))
+    # (B, T, H, D) -> (B*KVH, nq=1, G*bt, D), token t of group g at row
+    # g*bt + t
+    qp = jnp.pad(q, ((0, 0), (0, bt - T), (0, 0), (0, 0)))
     qg = (
         qp.reshape(B, bt, KVH, G, D)
         .transpose(0, 2, 3, 1, 4)
         .reshape(B * KVH, 1, rows, D)
     )
     pos_tiled = jnp.pad(
-        lengths[:, None, None], ((0, 0), (0, 0), (0, bt - 1))
+        positions[:, None], ((0, 0), (0, 0), (0, bt - T))
     )  # (B, 1, bt); padded rows mask to empty (pos 0 < any visited j)
     # blockvis keeps the FULL tile count (the kernel looks its word up by
     # tile id); only load/visit were compacted to ngrid steps
@@ -593,21 +597,41 @@ def sparse_flash_mha_slots(
         qg, bvis, pos_tiled, k_cache, v_cache,
     )
 
-    out = out.reshape(B, KVH, G, bt, D)[:, :, :, 0].reshape(B, H, D)
-    lse = lse[..., 0].reshape(B, KVH, G, bt)[:, :, :, 0].reshape(B, H)
+    out = (
+        out.reshape(B, KVH, G, bt, D)
+        .transpose(0, 3, 1, 2, 4)[:, :T]
+        .reshape(B, T, H, D)
+    )
+    lse = (
+        lse[..., 0].reshape(B, KVH, G, bt)
+        .transpose(0, 3, 1, 2)[:, :T]
+        .reshape(B, T, H)
+    )
     return out, lse
 
 
 def mha_sparse_slots(
-    q, k_cache, v_cache, lengths, topk_idx, topk_valid,
+    q, k_cache, v_cache, lengths, topk_idx, topk_valid, positions=None,
     *, layer: int, local_blocks: int, impl: str = "auto",
 ):
-    """Slot-batched sparse-attention entry (engine.batch_engine decode).
+    """Slot-batched sparse-attention entry (engine.batch_engine decode and
+    the batched sparse multi-token forward).
 
+    ``q`` is (B, H, D) (decode: one token per slot, positions default to
+    ``lengths``) or (B, T, H, D) with explicit ``positions`` (B, T).
     Pallas visit-table kernel on TPU; XLA materialized-block-mask fallback
     (per-slot vmap of ops.attention.mha_xla) for tests / non-TPU. History
-    only — the freshly projected self token is LSE-merged by the caller.
+    only — the caller LSE-merges the freshly projected rows. Returns
+    (out, lse) with the same leading shape as ``q``.
     """
+    decode_shaped = q.ndim == 3
+    if decode_shaped:
+        q = q[:, None]
+        topk_idx = topk_idx if topk_idx.shape[2] == 1 else topk_idx[:, :, None]
+        topk_valid = (topk_valid if topk_valid.shape[2] == 1
+                      else topk_valid[:, :, None])
+        positions = jnp.asarray(lengths, jnp.int32)[:, None]
+    T = q.shape[1]
     d_ok = q.shape[-1] % 128 == 0 and \
         k_cache.shape[3] % (TUNE["decode_bk"] or BK_DECODE) == 0
     use_pallas = impl in ("flash", "auto") and (
@@ -615,22 +639,27 @@ def mha_sparse_slots(
         or (jax.default_backend() == "tpu" and d_ok)
     )
     if use_pallas:
-        return sparse_flash_mha_slots(
-            q, k_cache, v_cache, lengths, topk_idx, topk_valid,
+        out, lse = sparse_flash_mha_slots(
+            q, k_cache, v_cache, lengths, topk_idx, topk_valid, positions,
             layer=layer, local_blocks=local_blocks,
         )
+    else:
+        from .attention import mha_xla
+        from .sparse import bits_from_topk, block_visibility
 
-    from .attention import mha_xla
-    from .sparse import bits_from_topk, block_visibility
+        NB = k_cache.shape[3] // BLOCK
 
-    NB = k_cache.shape[3] // BLOCK
-
-    def one(qb, kb, vb, lb, ib, vvb):
-        bits = bits_from_topk(ib, vvb, NB)
-        bm = block_visibility(bits, lb[None], local_blocks=local_blocks)
-        tm0 = jnp.zeros((1, 1), jnp.bool_)  # hide self row: history only
-        out, lse = mha_xla(qb[None], kb[layer], vb[layer], lb, tm0, bm,
+        def one(qb, kb, vb, lb, ib, vvb, pb):
+            bits = bits_from_topk(ib, vvb, NB)
+            bm = block_visibility(bits, pb, local_blocks=local_blocks)
+            tm0 = jnp.zeros((T, T), jnp.bool_)  # hide new rows: history only
+            o, l = mha_xla(qb, kb[layer], vb[layer], lb, tm0, bm,
                            return_lse=True)
-        return out[0], lse[:, 0]
+            return o, l.T  # (T, H, D), (T, H)
 
-    return jax.vmap(one)(q, k_cache, v_cache, lengths, topk_idx, topk_valid)
+        out, lse = jax.vmap(one)(
+            q, k_cache, v_cache, lengths, topk_idx, topk_valid, positions
+        )
+    if decode_shaped:
+        return out[:, 0], lse[:, 0]
+    return out, lse

@@ -206,6 +206,39 @@ def test_batch_chain_spec_oracle_accept(tiny):
     assert be.mean_accept_length() == eng.spec_num_iter + 1
 
 
+def test_sparse_batch_chain_spec_lossless(tiny):
+    """Sparse x speculation x batching (the full cube): batched chain
+    rounds over sparse slot lanes must emit exactly the sparse batched
+    engine's greedy tokens, with a prompt past the complete-visibility
+    horizon (real block dropping) and per-round compression commits."""
+    import dataclasses as dc
+
+    from cpmcu_tpu.engine.batch_chain_engine import BatchChainSpecEngine
+
+    cfg, params = tiny
+    scfg = dc.replace(cfg, apply_sparse=True, sparse_topk_k=2,
+                      block_window_size=2, sparse_switch=64)
+    eng = EngineConfig(chunk_length=64, max_total_length=2048,
+                       spec_num_iter=3, decode_segment_size=4)
+    rng = np.random.default_rng(17)
+    prompts = [rng.integers(0, 128, size=n).tolist() for n in (400, 90)]
+
+    plain = ContinuousBatchingEngine(scfg, eng, params, attn_impl="xla",
+                                     max_batch=2)
+    wids = [plain.submit(p, max_new_tokens=10) for p in prompts]
+    want = plain.run()
+
+    # self-drafting dense drafter: high accept through the sparse verify
+    dcfg = dc.replace(scfg, apply_sparse=False)
+    be = BatchChainSpecEngine(scfg, dcfg, eng, params, params,
+                              max_batch=2, attn_impl="xla")
+    ids = [be.submit(p, max_new_tokens=10) for p in prompts]
+    out = be.run()
+    for w, r in zip(wids, ids):
+        assert out[r] == want[w], "sparse chain-spec diverged"
+    assert be.mean_accept_length() >= 1.0
+
+
 def test_batch_forward_tokens_flash_matches_xla(tiny):
     """The multi-token slots forward folds T tokens into the flash-slots
     kernel's query rows on TPU; the interpret-mode kernel path must match

@@ -376,14 +376,59 @@ def test_sparse_slots_kernel_matches_xla_fallback():
         idx[b], valid[b] = i, v
 
     got_o, got_l = sparse_flash_mha_slots(
-        jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc),
+        jnp.asarray(q)[:, None], jnp.asarray(kc), jnp.asarray(vc),
         jnp.asarray(lengths), jnp.asarray(idx), jnp.asarray(valid),
+        jnp.asarray(lengths)[:, None],
         layer=layer, local_blocks=3, interpret=True, bk=128,
     )
+    got_o, got_l = got_o[:, 0], got_l[:, 0]
     want_o, want_l = mha_sparse_slots(
         jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc),
         jnp.asarray(lengths), jnp.asarray(idx), jnp.asarray(valid),
         layer=layer, local_blocks=3, impl="xla",
+    )
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sparse_slots_kernel_multitoken_matches_xla():
+    """T>1 queries per slot (batched sparse chain rounds): kernel parity
+    with the per-slot XLA fallback, per-token selections and positions."""
+    from cpmcu_tpu.ops.sparse_flash import (
+        mha_sparse_slots, sparse_flash_mha_slots,
+    )
+
+    rng = np.random.default_rng(31)
+    B, L, T, H, KVH, D = 2, 2, 4, 8, 2, 128
+    S = 1024
+    NB = S // 64
+    layer = 0
+    lengths = np.asarray([700, 260], np.int32)
+    positions = lengths[:, None] + np.arange(T, dtype=np.int32)[None]
+
+    q = rng.normal(size=(B, T, H, D)).astype(np.float32)
+    kc = rng.normal(size=(B, L, KVH, S, D)).astype(np.float32)
+    vc = rng.normal(size=(B, L, KVH, S, D)).astype(np.float32)
+    idx = np.zeros((B, T, KVH, 4), np.int32)
+    valid = np.zeros((B, T, KVH, 4), bool)
+    for b in range(B):
+        for t in range(T):
+            i, v = _rand_selection(rng, KVH, 1, NB, 4)
+            idx[b, t], valid[b, t] = i[:, 0], v[:, 0]
+    idx = idx.transpose(0, 2, 1, 3)  # (B, KVH, T, K)
+    valid = valid.transpose(0, 2, 1, 3)
+
+    args = (jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc),
+            jnp.asarray(lengths), jnp.asarray(idx), jnp.asarray(valid))
+    got_o, got_l = sparse_flash_mha_slots(
+        *args, jnp.asarray(positions),
+        layer=layer, local_blocks=3, interpret=True, bk=128,
+    )
+    want_o, want_l = mha_sparse_slots(
+        *args, jnp.asarray(positions), layer=layer, local_blocks=3,
+        impl="xla",
     )
     np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o),
                                rtol=2e-4, atol=2e-4)
