@@ -157,10 +157,34 @@ def create_engine(args: dict):
     except Exception as e:  # tokenizer optional for raw-id workflows
         logger.warning(f"tokenizer unavailable: {e}")
 
+    max_batch = args.get("max_batch", 0) or 0
+
     if draft_path is None:
+        if max_batch:
+            from ..engine.batch_engine import ContinuousBatchingEngine
+
+            engine = ContinuousBatchingEngine(
+                cfg, eng, params, max_batch=max_batch, attn_impl=attn_impl
+            )
+            return engine, tokenizer
         from ..engine.engine import Engine
 
         engine = Engine(cfg, eng, params, attn_impl=attn_impl)
+        return engine, tokenizer
+
+    if max_batch and cfg.apply_sparse:
+        # batched EAGLE is dense-only (engine.batch_spec_engine); sparse
+        # batched serving drops the drafter rather than the batching
+        from ..engine.batch_engine import ContinuousBatchingEngine
+
+        logger.warning(
+            "batched speculation is dense-only: serving sparse continuous "
+            "batching WITHOUT the draft model (single-sequence spec keeps "
+            "the drafter: omit --max-batch)"
+        )
+        engine = ContinuousBatchingEngine(
+            cfg, eng, params, max_batch=max_batch, attn_impl=attn_impl
+        )
         return engine, tokenizer
 
     # --- speculative engine ---
@@ -184,6 +208,17 @@ def create_engine(args: dict):
         spec_type = "eagle3" if is_e3 else "eagle2"
 
     if spec_type == "eagle3":
+        if max_batch:
+            from ..engine.batch_engine import ContinuousBatchingEngine
+
+            logger.warning(
+                "batched speculation supports EAGLE-2 drafters only: "
+                "serving continuous batching WITHOUT the EAGLE-3 drafter"
+            )
+            engine = ContinuousBatchingEngine(
+                cfg, eng, params, max_batch=max_batch, attn_impl=attn_impl
+            )
+            return engine, tokenizer
         return _create_eagle3_engine(
             args, cfg, family, eng, params, tokenizer, draft_path, dconf,
             attn_impl,
@@ -224,6 +259,23 @@ def create_engine(args: dict):
         eparams = load_eagle_params(
             draft_path, cfg, ecfg, base_params=params, token_id_remap=remap
         )
+    if max_batch:
+        # batched EAGLE-2: speculative continuous batching. The batched
+        # drafter has no sliding-window path yet — force full draft
+        # attention (affects draft quality at very long contexts only).
+        from ..engine.batch_spec_engine import BatchSpecEngine
+
+        if ecfg.window:
+            logger.warning(
+                "batched EAGLE ignores --spec-window-size (full draft "
+                "attention)"
+            )
+            ecfg = dataclasses.replace(ecfg, window=0)
+        engine = BatchSpecEngine(
+            cfg, ecfg, eng, params, eparams,
+            max_batch=max_batch, attn_impl=attn_impl,
+        )
+        return engine, tokenizer
     engine = SpecEngine(cfg, ecfg, eng, params, eparams, attn_impl=attn_impl)
     return engine, tokenizer
 

@@ -279,37 +279,18 @@ def main(argv=None) -> int:
     from .factory import create_engine
 
     args = vars(make_server_parser().parse_args(argv))
+    # the factory dispatches: single-sequence, continuous batching, and
+    # batched EAGLE-2 speculation (max_batch + draft model)
+    engine, tokenizer = create_engine(args)
+    if tokenizer is None:
+        logger.error("server requires a tokenizer")
+        return 2
     if args.get("max_batch"):
-        # continuous batching: build the scheduler engine directly (no spec
-        # in batched mode yet)
-        from ..core.config import EngineConfig
-        from ..engine.batch_engine import ContinuousBatchingEngine
-        from ..io.hf_loader import load_params
         from .batch_backend import BatchChatBackend
-        from .factory import build_model_config
 
-        cfg, _ = build_model_config(args["model_path"], args)
-        eng = EngineConfig(
-            chunk_length=args.get("chunk_length", 2048),
-            memory_limit=args.get("memory_limit", 0.8),
-            max_total_length=args.get("max_total_length", 0),
-            temperature=args.get("temperature", 0.0),
-        )
-        params = load_params(args["model_path"], cfg)
-        engine = ContinuousBatchingEngine(
-            cfg, eng, params, max_batch=args["max_batch"],
-            attn_impl=args.get("attn_impl", "auto"),
-        )
-        from transformers import AutoTokenizer
-
-        tokenizer = AutoTokenizer.from_pretrained(args["model_path"])
         backend = BatchChatBackend(engine, tokenizer,
                                    model_name=args["model_path"])
     else:
-        engine, tokenizer = create_engine(args)
-        if tokenizer is None:
-            logger.error("server requires a tokenizer")
-            return 2
         backend = ChatBackend(engine, tokenizer, model_name=args["model_path"])
     serve(backend, args["host"], args["port"])
     return 0

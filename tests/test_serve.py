@@ -164,6 +164,24 @@ def test_factory_creates_working_engine(tiny_engine):
     assert engine.cfg.apply_sparse is False  # 2/2 != 16 -> plain minicpm
 
 
+def test_factory_max_batch_dispatch(tmp_path_factory):
+    """create_engine(max_batch=N) returns the continuous-batching engine
+    (the server's --max-batch path goes through the factory now)."""
+    from cpmcu_tpu.engine.batch_engine import ContinuousBatchingEngine
+    from cpmcu_tpu.serve.factory import create_engine
+
+    d = str(tmp_path_factory.mktemp("ckpt_mb"))
+    _write_tiny_checkpoint(d)
+    engine, _ = create_engine({
+        "model_path": d, "chunk_length": 32, "max_total_length": 256,
+        "attn_impl": "xla", "max_batch": 2,
+    })
+    assert isinstance(engine, ContinuousBatchingEngine)
+    rid = engine.submit([1, 2, 3], max_new_tokens=4)
+    out = engine.run()
+    assert len(out[rid]) == 4
+
+
 # ---------------------------------------------------------------------------
 # benchmark plumbing
 # ---------------------------------------------------------------------------
