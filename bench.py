@@ -344,6 +344,10 @@ def main():
     ap.add_argument(
         "--config", default="minicpm4-8b", choices=["minicpm4-0.5b", "minicpm4-8b"]
     )
+    ap.add_argument("--init-deadline", type=int, default=300,
+                    help="seconds to wait for device backend init before "
+                    "emitting an error line (a wedged tunnel otherwise "
+                    "hangs forever; 0 disables)")
     ap.add_argument("--quant", dest="quant", action="store_true", default=True,
                     help="W4A16 weights (default for the 8B headline)")
     ap.add_argument("--no-quant", dest="quant", action="store_false")
@@ -390,6 +394,26 @@ def main():
     eng = EngineConfig(chunk_length=args.chunk_len, max_total_length=max_len)
 
     try:
+        if args.init_deadline:
+            # a wedged tunnel hangs every client in backend init for hours
+            # (CLAUDE.md 2026-08-17); fail loudly with a JSON line instead
+            import threading
+
+            box = {}
+
+            def _probe():
+                import jax
+
+                box["devices"] = jax.devices()
+
+            t = threading.Thread(target=_probe, daemon=True)
+            t.start()
+            t.join(args.init_deadline)
+            if t.is_alive():
+                raise TimeoutError(
+                    f"device backend init exceeded {args.init_deadline}s "
+                    "(tunnel wedged?)"
+                )
         wt = "w4a16" if args.quant else "bf16"
         extra = {}
         if args.batch:

@@ -303,6 +303,36 @@ def test_batch_eagle_spec_lossless(tiny):
     assert be.mean_accept_length() >= 1.0
 
 
+def test_batch_eagle_spec_multichunk_prompt(tiny):
+    """Admission prompts spanning several prefill chunks drive the lagged
+    draft prefill (pend_embed/pend_hidden across chunk boundaries) on the
+    slot lanes; output must stay lossless."""
+    import dataclasses as dc
+
+    from cpmcu_tpu.engine.batch_spec_engine import BatchSpecEngine
+    from cpmcu_tpu.spec.eagle import EagleConfig, init_eagle_params
+
+    cfg, params = tiny
+    eng = EngineConfig(chunk_length=16, max_total_length=256)
+    rng = np.random.default_rng(23)
+    prompts = [rng.integers(0, 128, size=40).tolist(),
+               rng.integers(0, 128, size=17).tolist()]
+
+    plain = _batch_engine(tiny, max_batch=2)
+    wids = [plain.submit(p, max_new_tokens=8) for p in prompts]
+    want = plain.run()
+
+    dcfg = dc.replace(cfg, num_layers=1)
+    ecfg = EagleConfig(model=dcfg, num_iter=2, topk_per_iter=3, tree_size=6)
+    eparams = init_eagle_params(ecfg, jax.random.PRNGKey(5))
+    be = BatchSpecEngine(cfg, ecfg, eng, params, eparams,
+                         max_batch=2, attn_impl="xla")
+    ids = [be.submit(p, max_new_tokens=8) for p in prompts]
+    out = be.run()
+    for w, r in zip(wids, ids):
+        assert out[r] == want[w], "multi-chunk admission diverged"
+
+
 def test_batch_eagle_spec_oracle_accept(tiny):
     """Bigram-oracle drafter (test_spec fixture): every full round accepts
     the whole chain — drives the batched drafter catch-up, tree expansion,
