@@ -344,6 +344,10 @@ def main():
     ap.add_argument(
         "--config", default="minicpm4-8b", choices=["minicpm4-0.5b", "minicpm4-8b"]
     )
+    ap.add_argument("--no-v3-extract", dest="v3_extract",
+                    action="store_false", default=True,
+                    help="A/B: revert the quant kernel's pair-0 in-place "
+                    "mask (ops.quant.TUNE['v3_extract']) to the v2 shift")
     ap.add_argument("--init-deadline", type=int, default=300,
                     help="seconds to wait for device backend init before "
                     "emitting an error line (a wedged tunnel otherwise "
@@ -389,6 +393,10 @@ def main():
     per_seq = (per_seq + 511) // 512 * 512
     if args.oracle_union:
         cfg = dataclasses.replace(cfg, sparse_oracle_union=True)
+    if not args.v3_extract:
+        from cpmcu_tpu.ops import quant as _q
+
+        _q.TUNE["v3_extract"] = False
     # batch mode splits the budget across slots
     max_len = args.max_len or per_seq * max(args.batch, 1)
     eng = EngineConfig(chunk_length=args.chunk_len, max_total_length=max_len)
