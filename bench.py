@@ -275,8 +275,11 @@ def bench_batch(cfg, eng, steps=64, prompt_len=128, batch=8, spec=False):
     if spec == "chain":
         from cpmcu_tpu.engine.batch_chain_engine import BatchChainSpecEngine
 
+        # the drafter is always dense-attention (SpecMQuant pairing), even
+        # when the base engine runs InfLLM-v2 sparse slots
         draft_cfg = dataclasses.replace(
-            cfg, num_layers=max(2, cfg.num_layers // 8), quant_lmhead=False
+            cfg, num_layers=max(2, cfg.num_layers // 8), quant_lmhead=False,
+            apply_sparse=False,
         )
         dparams = make_params(draft_cfg, jax.random.PRNGKey(1))
         be = BatchChainSpecEngine(cfg, draft_cfg, eng, params, dparams,

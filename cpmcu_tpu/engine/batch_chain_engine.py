@@ -184,6 +184,17 @@ class BatchChainSpecEngine(ContinuousBatchingEngine):
         # clamped dynamic_update_slice near capacity would overwrite a
         # continuing slot's committed rows
         pad = (S + 8 + 127) // 128 * 128
+        # the drafter arena costs f x the base row per token: carve it out
+        # of the solved KV budget instead of allocating past it, and drop
+        # the parent's arena BEFORE the re-alloc (a transient 2x KV
+        # footprint would defeat the budget solve on a real chip)
+        f = (draft_cfg.num_layers * draft_cfg.num_kv_heads
+             * draft_cfg.head_dim * jnp.dtype(draft_cfg.jnp_dtype).itemsize
+             ) / (cfg.num_layers * cfg.num_kv_heads * cfg.head_dim
+                  * jnp.dtype(cfg.jnp_dtype).itemsize)
+        self.slot_budget = max(128, int(self.slot_budget / (1 + f))
+                               // 128 * 128)
+        self.bcache = None
         if cfg.apply_sparse:
             # sparse chain: InfLLM-v2 selection per slot/token inside the
             # base chain decode (batch_forward_tokens sparse branch); the
@@ -350,6 +361,10 @@ class BatchChainSpecEngine(ContinuousBatchingEngine):
     def mean_accept_length(self) -> float:
         return (float(np.mean(self.accept_lengths))
                 if self.accept_lengths else 0.0)
+
+    def _compress_span_bound(self) -> int:
+        # a speculative round commits up to num_iter+1 rows per slot
+        return max(1, self.eng.decode_segment_size, self.num_iter + 1)
 
     def step(self) -> List[StepEvent]:
         """Admit + advance every active slot by one speculative round

@@ -784,8 +784,8 @@ class ContinuousBatchingEngine:
             # roll back overshoot: only ``kept`` tokens were committed
             new_lengths[slot] = len0[slot] + kept
         self._host_lengths = new_lengths
-        self.bcache = BatchKVCache(
-            self.bcache.k, self.bcache.v, jnp.asarray(new_lengths)
+        self.bcache = dataclasses.replace(
+            self.bcache, lengths=jnp.asarray(new_lengths)
         )
         for slot in finished_slots:
             del self.active[slot]
@@ -865,17 +865,28 @@ class ContinuousBatchingEngine:
         # rollback can leave compressed > committed on freed slots: clamp
         # to an empty span (their mirrors are rebuilt at readmission)
         old = np.minimum(self._compressed_lengths, committed)
-        if int((committed - old).max(initial=0)) <= 0:
+        span = int((committed - old).max(initial=0))
+        if span <= 0:
             return
-        # static span bound: one decode segment, or one speculative round
-        # (num_iter+1 rows) for the batched chain engine
-        seg = max(1, self.eng.decode_segment_size,
-                  getattr(self, "num_iter", 0) + 1)
+        # static span bound (compress_incremental recomputes at most
+        # max_new rows — a larger real span would silently leave zero
+        # mirror rows, so fail loudly instead). Engines that commit more
+        # rows per drain override _compress_span_bound().
+        bound = self._compress_span_bound()
+        assert span <= bound, (
+            f"uncompressed span {span} exceeds the engine's per-drain "
+            f"bound {bound}: compression must run every drain"
+        )
         self.bcache = compress_slots(
             self.bcache, jnp.asarray(old), jnp.asarray(committed),
-            max_new=seg,
+            max_new=bound,
         )
         self._compressed_lengths = committed.copy()
+
+    def _compress_span_bound(self) -> int:
+        """Static upper bound on rows committed per slot between
+        _compress_uncommitted calls (one decode segment here)."""
+        return max(1, self.eng.decode_segment_size)
 
     def run(self) -> Dict[int, List[int]]:
         """Drain the queue; returns request_id -> emitted tokens.

@@ -269,6 +269,16 @@ class BatchSpecEngine(ContinuousBatchingEngine):
         # lands, but the lagged admission prefill reaches ehist+C
         pad = (max(S, ecfg.topk_per_iter * ecfg.num_iter) + 8 + 127) \
             // 128 * 128
+        # carve the drafter arena out of the solved KV budget and release
+        # the parent's arena before reallocating (no transient 2x peak)
+        dm = ecfg.model
+        f = (dm.num_layers * dm.num_kv_heads * dm.head_dim
+             * jnp.dtype(dm.jnp_dtype).itemsize) / (
+            cfg.num_layers * cfg.num_kv_heads * cfg.head_dim
+            * jnp.dtype(cfg.jnp_dtype).itemsize)
+        self.slot_budget = max(128, int(self.slot_budget / (1 + f))
+                               // 128 * 128)
+        self.bcache = None
         self.arena_budget = self.slot_budget + pad + self.eng.chunk_length
         self.bcache = BatchKVCache.create(cfg, max_batch, self.arena_budget)
         self.rope = llama.make_rope(cfg, self.arena_budget)

@@ -58,7 +58,11 @@ SCALE_DTYPE = jnp.bfloat16
 #   v3_extract — plane pair 0 masked in place at mantissa [0,4) (value
 #       1+n/128, fixup 128v-136) instead of shifted to [3,7): drops the
 #       j=0 shift, 12 -> 11 VPU ops per word (1.375/weight). Same pack
-#       layout, numerically identical (both fixups reduce to n-8 exactly).
+#       layout; the prefill scratch dequant stays bit-exact (128+n and
+#       n-8 are exact in bf16), while the decode path's post-dot fixup
+#       scales pair 0's fp32 dot-accumulation rounding by 128 instead of
+#       16 (~8x — still orders of magnitude under the int4 quantization
+#       step; parity-tested, and A/B-able via bench --no-v3-extract).
 TUNE = {"ku": 1, "bn_ladder": (2048, 1536, 1024, 512), "v3_extract": True}
 
 

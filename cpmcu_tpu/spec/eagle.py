@@ -293,10 +293,25 @@ def eagle_draft(
         frontier_tok = toks_flat[fpos]
         frontier_val = fval
 
-    # global re-top-k over everything tried (eagle.cuh:485)
+    tree_tokens, tree_pos, tree_mask, tree_parent = finalize_tree(
+        ecfg, ep, tried_val, tried_tok, parent_rec, orig
+    )
+    return tree_tokens, tree_pos, tree_mask, tree_parent, ekv
+
+
+def finalize_tree(ecfg: EagleConfig, ep: dict, tried_val, tried_tok,
+                  parent_rec, orig):
+    """Global re-top-k over the tried pool + vectorized build_dynamic_tree
+    (eagle.cuh:485, 188-222). Single-slot shapes; spec.eagle_batch vmaps it
+    per slot — ONE copy of the tree-recovery semantics.
+
+    Returns (tree_tokens (S,) with row 0 = -1 for the caller's root fill,
+    tree_pos (S,), tree_mask (S, S), tree_parent (S,))."""
+    K = ecfg.topk_per_iter
+    S = ecfg.tree_size
+    TT = ecfg.total_tried
     _, sel = jax.lax.top_k(tried_val, S - 1)  # tried indices, value-ordered
 
-    # --- vectorized build_dynamic_tree (eagle.cuh:188-222) ---
     # tree node t+1 <- tried index sel[t]; node 0 = root
     reverse = jnp.zeros((TT,), jnp.int32).at[sel].set(
         jnp.arange(1, S, dtype=jnp.int32)
@@ -326,4 +341,4 @@ def eagle_draft(
     tree_tokens = jnp.concatenate(
         [jnp.full((1,), -1, jnp.int32), _fr_to_real(ecfg, ep, tried_tok[sel])]
     )
-    return tree_tokens, tree_pos, tree_mask, tree_parent, ekv
+    return tree_tokens, tree_pos, tree_mask, tree_parent

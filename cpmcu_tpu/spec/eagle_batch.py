@@ -19,8 +19,9 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import ModelConfig
-from .eagle import EagleConfig, _fr_to_real, draft_logits, eagle_fc
-from .tree import ancestor_closure
+from .eagle import (
+    EagleConfig, _fr_to_real, draft_logits, eagle_fc, finalize_tree,
+)
 
 
 def eagle_batch_layers(
@@ -158,40 +159,8 @@ def eagle_batch_layers(
     return h.reshape(B, T, Hid), own_k, own_v
 
 
-def _finalize_tree(ecfg: EagleConfig, ep: dict, tried_val, tried_tok,
-                   parent_rec, orig):
-    """Single-slot tree build from the tried pool (the tail of
-    spec.eagle.eagle_draft, vmapped by the caller)."""
-    K = ecfg.topk_per_iter
-    S = ecfg.tree_size
-    TT = ecfg.total_tried
-    _, sel = jax.lax.top_k(tried_val, S - 1)
-    reverse = jnp.zeros((TT,), jnp.int32).at[sel].set(
-        jnp.arange(1, S, dtype=jnp.int32)
-    )
-
-    def depth_of(p):
-        return jnp.where(p < K, 1, (p - K) // (K * K) + 2)
-
-    def parent_tried_of(p):
-        pp = p - K
-        d1 = pp // K
-        dn = parent_rec[jnp.clip((pp - K * K) // K, 0, parent_rec.shape[0] - 1)]
-        pt = jnp.where(pp < K * K, d1, dn)
-        return jnp.where(p < K, -1, pt)
-
-    depths = depth_of(sel)
-    ptried = parent_tried_of(sel)
-    parents = jnp.where(ptried < 0, 0, reverse[jnp.clip(ptried, 0, TT - 1)])
-    tree_parent = jnp.concatenate([jnp.zeros((1,), jnp.int32), parents])
-    tree_pos = jnp.concatenate(
-        [jnp.asarray(orig, jnp.int32)[None], orig + depths.astype(jnp.int32)]
-    )
-    tree_mask = ancestor_closure(tree_parent)
-    tree_tokens = jnp.concatenate(
-        [jnp.full((1,), -1, jnp.int32), _fr_to_real(ecfg, ep, tried_tok[sel])]
-    )
-    return tree_tokens, tree_pos, tree_mask, tree_parent
+# the tree build is shared with the single-sequence path: ONE copy of the
+# reference's build_dynamic_tree semantics (spec.eagle.finalize_tree)
 
 
 def eagle_batch_draft(
@@ -285,5 +254,5 @@ def eagle_batch_draft(
         frontier_tok = jnp.take_along_axis(toks_flat, fpos, axis=1)
         frontier_val = fval
 
-    fin = functools.partial(_finalize_tree, ecfg, ep)
+    fin = functools.partial(finalize_tree, ecfg, ep)
     return jax.vmap(fin)(tried_val, tried_tok, parent_rec, orig)
