@@ -64,6 +64,23 @@ def append_layer(k_cache, v_cache, new_k, new_v, start):
     return k_cache, v_cache
 
 
+def accept_perm(accept_pos, accept_len, dtype):
+    """One-hot accepted-path permutation matrix (n, n) in ``dtype``.
+
+    ``perm @ rows`` moves row ``accept_pos[i]`` to row ``i`` for
+    i < accept_len and leaves later rows in place. A MATMUL, not
+    ``jnp.take``: the gather's output got layout {3,0,1,2} and XLA's
+    layout assignment then relayout-copied the ENTIRE cache around the
+    update to match the tiny operand (2 x 1.7 ms per spec round at 32K;
+    round-2 profiler finding). The dot output keeps the default layout,
+    and one-hot x rows is exact in any dtype. Shared by compact() and
+    commit_tree_rows() so the trap can't be re-introduced in one copy."""
+    n = accept_pos.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    src = jnp.where(idx < accept_len, accept_pos, idx)  # tree-local indices
+    return (src[:, None] == idx[None, :]).astype(dtype)
+
+
 def compact(cache: KVCache, accept_pos, accept_len, base_len) -> KVCache:
     """Move accepted tree slots to the contiguous cache front.
 
@@ -76,9 +93,6 @@ def compact(cache: KVCache, accept_pos, accept_len, base_len) -> KVCache:
     ``accept_len`` are ignored by clamping their destination to themselves.
     """
     n = accept_pos.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    # Rows where i >= accept_len: make the move a no-op (src = self).
-    src = jnp.where(idx < accept_len, accept_pos, idx)  # tree-local indices
 
     def fix(arr):  # (L, KVH, S, D)
         # Slice the n-row tree window FIRST, gather inside it, splice back:
@@ -94,15 +108,9 @@ def compact(cache: KVCache, accept_pos, accept_len, base_len) -> KVCache:
             (jnp.int32(0), jnp.int32(0), base_len, jnp.int32(0)),
             (arr.shape[0], arr.shape[1], n, arr.shape[3]),
         )
-        # permutation as a one-hot matmul, NOT jnp.take: the gather's output
-        # got layout {3,0,1,2}, and XLA's layout assignment then relayouted
-        # the ENTIRE cache around the update to match the 12-row operand
-        # (2 x 1.7ms per spec round at 32K; round-2 profiler finding). The
-        # dot output keeps the default layout; one-hot x rows is exact in
-        # any dtype.
-        perm = (src[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :])
         rows = jnp.einsum(
-            "ij,lkjd->lkid", perm.astype(arr.dtype), win
+            "ij,lkjd->lkid", accept_perm(accept_pos, accept_len, arr.dtype),
+            win,
         )
         return jax.lax.dynamic_update_slice(
             arr, rows, (jnp.int32(0), jnp.int32(0), base_len, jnp.int32(0))
@@ -130,10 +138,7 @@ def commit_tree_rows(
     like cache.sparse_kv.compact_sparse (or defer to the segment caller).
     """
     n = accept_pos.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    src = jnp.where(idx < accept_len, accept_pos, idx)
-    # one-hot permutation dot (exact; layout-neutral — see compact())
-    perm = (src[:, None] == idx[None, :]).astype(k_rows.dtype)
+    perm = accept_perm(accept_pos, accept_len, k_rows.dtype)
 
     def wr(big, rows):  # rows (L, KVH, n, D)
         sel = jnp.einsum("ij,lkjd->lkid", perm, rows)

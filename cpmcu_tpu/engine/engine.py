@@ -266,6 +266,23 @@ class Engine:
             stats = item
         return tokens, stats.get("decode_time", 0.0), stats.get("prefill_time", 0.0)
 
+    def _decode_segment_call(self, dev_token, dev_pos, k):
+        """One fused k-step greedy/sampled decode dispatch. Overridable:
+        parallel.seq.SeqParallelEngine routes it through the sp mesh while
+        reusing this class's streaming loop unchanged."""
+        return decode_segment(
+            self.cfg, self.params, self.rope, self.cache,
+            dev_token, dev_pos, self.key,
+            k=k,
+            temperature=self.eng.temperature,
+            top_k=self.eng.top_k,
+            top_p=self.eng.top_p,
+            attn_impl=self.attn_impl,
+            sparse_select=self.sparse_engaged(),
+            kv_span=self.kv_bucket(self.host_len + k + 8),
+            unroll=self.unroll_layers(1, self.host_len + k + 8),
+        )
+
     def _generate_stream(self, input_ids, generation_length, terminators, progress_callback):
         terminators = set(int(t) for t in terminators)
         logits = self.prefill(input_ids, progress_callback)
@@ -300,17 +317,8 @@ class Engine:
                 # stop generating instead (ADVICE.md round-1)
                 return
             with perf_scope("decode_segment"):
-                self.cache, toks, self.key = decode_segment(
-                    self.cfg, self.params, self.rope, self.cache,
-                    dev_token, dev_pos, self.key,
-                    k=k,
-                    temperature=self.eng.temperature,
-                    top_k=self.eng.top_k,
-                    top_p=self.eng.top_p,
-                    attn_impl=self.attn_impl,
-                    sparse_select=self.sparse_engaged(),
-                    kv_span=self.kv_bucket(self.host_len + k + 8),
-                    unroll=self.unroll_layers(1, self.host_len + k + 8),
+                self.cache, toks, self.key = self._decode_segment_call(
+                    dev_token, dev_pos, k
                 )
             self.host_len += k
             toks_host = np.asarray(toks)

@@ -177,23 +177,12 @@ def hier_fused_round(
     H = draft_cfg.hidden_size
     assert inner_rounds * S >= max_chain
 
-    # 1. catch-up (hier_catchup body; no commit — see its docstring)
-    d0 = dcache.length
+    # 1. catch-up (ONE copy of the no-commit semantics — see its docstring)
+    d0 = dcache.length  # pre-round draft length, for the step-5 rollback
     tok = jnp.asarray(draft0, jnp.int32)[None]
-    _, dcache, normed = llama.forward(
-        draft_cfg, dparams, drope, dcache, tok, d0[None],
-        logits_mode="none", attn_impl=attn_impl, return_hidden=True,
-        unroll=True,
-    )
-    emb = _embed(draft_cfg, dparams, tok)
-    estate = EagleState(
-        kv=ekv.with_length(d0),
-        prev_embed=jnp.zeros((S, H), draft_cfg.jnp_dtype).at[0].set(emb[0]),
-        prev_hidden=jnp.zeros((S, H), draft_cfg.jnp_dtype).at[0].set(
-            normed[0].astype(draft_cfg.jnp_dtype)
-        ),
-        num_prev=jnp.asarray(1, jnp.int32),
-        pos0=d0.astype(jnp.int32),
+    dcache, estate = hier_catchup.__wrapped__(
+        draft_cfg, ecfg, dparams, drope, dcache, ekv, draft0,
+        attn_impl=attn_impl,
     )
 
     # 2. fixed number of inner spec rounds (greedy inner: the drafter's
@@ -265,6 +254,12 @@ class HierSpecEngine(Engine):
         assert not draft_cfg.apply_sparse
         self.min_draft_length = min_draft_length
         self.max_chain = min_draft_length + ecfg.tree_size
+        # fused-round inner count: enough rounds that even all-accepts can
+        # fill max_chain (min_draft_length=1 needs 2 rounds: 1 round's
+        # tree_size tokens < max_chain = 1 + tree_size)
+        self.inner_rounds = max(
+            min_draft_length, -(-self.max_chain // ecfg.tree_size)
+        )
         # the inner engine owns the draft model + EAGLE drafter state; under
         # a mesh the draft model shards like any llama (SpecEngine mesh=)
         inner_eng = eng
@@ -303,7 +298,7 @@ class HierSpecEngine(Engine):
 
         # fused path: catch-up + inner rounds + chain + outer verify in ONE
         # device program, ONE packed readback (see hier_fused_round)
-        k_inner = self.min_draft_length
+        k_inner = self.inner_rounds
         ints, self.cache, self.inner.cache, ekv, self.key, path_logits = (
             hier_fused_round(
                 self.cfg, dcfg, ecfg,

@@ -13,6 +13,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _top_p_threshold(sorted_desc, top_p):
+    """Smallest kept logit under nucleus filtering of descending-sorted
+    rows, always keeping top-1. ``top_p`` may be a static scalar or a
+    traced (B, 1) vector — ONE copy of the cutoff/tie semantics for both
+    the static sampler and the per-row batched sampler."""
+    probs = jax.nn.softmax(sorted_desc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens until cumulative prob exceeds top_p (always keep top-1)
+    cutoff = jnp.where(cum - probs > top_p, -jnp.inf, sorted_desc)
+    return jnp.min(
+        jnp.where(jnp.isneginf(cutoff), jnp.inf, cutoff), axis=-1,
+        keepdims=True,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("temperature", "top_k", "top_p"))
 def sample(
     logits: jax.Array,  # (..., V) fp32
@@ -30,14 +45,7 @@ def sample(
         logits = jnp.where(logits < kth, -jnp.inf, logits)
     if top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
-        probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # keep tokens until cumulative prob exceeds top_p (always keep top-1)
-        cutoff_mask = cum - probs > top_p
-        cutoff = jnp.where(cutoff_mask, -jnp.inf, sorted_logits)
-        threshold = jnp.min(
-            jnp.where(jnp.isneginf(cutoff), jnp.inf, cutoff), axis=-1, keepdims=True
-        )
+        threshold = _top_p_threshold(sorted_logits, top_p)
         logits = jnp.where(logits < threshold, -jnp.inf, logits)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
@@ -64,13 +72,7 @@ def sample_per_row(
     ranks = jnp.arange(V, dtype=jnp.int32)[None, :]
     k_eff = jnp.where(top_ks > 0, jnp.clip(top_ks, 1, V), V)[:, None]
     sorted_l = jnp.where(ranks >= k_eff, -jnp.inf, sorted_l)  # top-k first
-    probs = jax.nn.softmax(sorted_l, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    cutoff_mask = cum - probs > top_ps[:, None]
-    cutoff = jnp.where(cutoff_mask, -jnp.inf, sorted_l)
-    threshold = jnp.min(
-        jnp.where(jnp.isneginf(cutoff), jnp.inf, cutoff), axis=-1, keepdims=True
-    )
+    threshold = _top_p_threshold(sorted_l, top_ps[:, None])
     l = jnp.where(l < threshold, -jnp.inf, l)
     sampled = jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
     return jnp.where(temps == 0.0, greedy, sampled)

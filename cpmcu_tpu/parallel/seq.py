@@ -142,16 +142,21 @@ class SeqParallelEngine(Engine):
         self.sp_mesh = sp_mesh
         sp = sp_mesh.shape[AXIS_SP]
         super().__init__(cfg, eng, params, attn_impl, mesh=None)
-        # re-create the cache: budget x sp, rounded so slabs are 512-aligned
+        # re-create the cache: budget x sp, rounded so slabs are 512-aligned.
+        # Allocate DIRECTLY with the sp sharding — materializing the
+        # sp-times-larger zeros unsharded first would spike device 0 to
+        # ~(1+sp)x the per-chip budget, exactly what sp exists to avoid —
+        # and drop the base engine's single-chip cache before allocating.
         budget = self.max_total_length * sp
         budget = (budget + 512 * sp - 1) // (512 * sp) * (512 * sp)
         self.max_total_length = budget
-        self.cache = KVCache.create(cfg, budget)
+        self.cache = None
         kv_sh = NamedSharding(sp_mesh, P(None, None, AXIS_SP, None))
+        shape = (cfg.num_layers, cfg.num_kv_heads, budget, cfg.head_dim)
         self.cache = KVCache(
-            k=jax.device_put(self.cache.k, kv_sh),
-            v=jax.device_put(self.cache.v, kv_sh),
-            length=jax.device_put(self.cache.length,
+            k=jnp.zeros(shape, cfg.jnp_dtype, device=kv_sh),
+            v=jnp.zeros(shape, cfg.jnp_dtype, device=kv_sh),
+            length=jax.device_put(jnp.zeros((), jnp.int32),
                                   NamedSharding(sp_mesh, P())),
         )
         rep = NamedSharding(sp_mesh, P())
@@ -175,61 +180,15 @@ class SeqParallelEngine(Engine):
         )
         return out
 
-    def _generate_stream(self, input_ids, generation_length, terminators,
-                         progress_callback):
-        """Same loop as Engine but through sp_decode_segment."""
-        import time
-
-        terminators = set(int(t) for t in terminators)
-        logits = self.prefill(input_ids, progress_callback)
-        token = int(self._sample(logits))
-        prefill_time = self._last_prefill_time
-        pos = len(input_ids)
-        decode_start = time.time()
-        emitted = 0
-        seg = max(1, self.eng.decode_segment_size)
-
-        def make_item(tok, finished):
-            return {
-                "token": tok,
-                "is_finished": finished,
-                "prefill_time": prefill_time,
-                "decode_time": time.time() - decode_start,
-                "accept_length": 1,
-            }
-
-        dev_token = jnp.asarray(token, jnp.int32)
-        dev_pos = jnp.asarray(pos, jnp.int32)
-        while True:
-            finished = token in terminators or emitted + 1 >= generation_length
-            yield make_item(token, finished)
-            emitted += 1
-            if finished:
-                return
-            k = min(seg, generation_length - emitted)
-            if self.host_len + k + 1 > self.cache.max_length:
-                return
-            self.cache, toks, self.key = sp_decode_segment(
-                self.cfg, self.sp_mesh, self.params, self.rope, self.cache,
-                dev_token, dev_pos, self.key,
-                k=k,
-                temperature=self.eng.temperature,
-                top_k=self.eng.top_k,
-                top_p=self.eng.top_p,
-                attn_impl=self.attn_impl,
-            )
-            self.host_len += k
-            toks_host = np.asarray(toks)
-            dev_token = toks[-1]
-            dev_pos = dev_pos + k
-            for t in toks_host[:-1]:
-                t = int(t)
-                finished = t in terminators or emitted + 1 >= generation_length
-                yield make_item(t, finished)
-                emitted += 1
-                if finished:
-                    kept = pos + emitted
-                    self.cache = self.cache.with_length(kept)
-                    self.host_len = kept
-                    return
-            token = int(toks_host[-1])
+    def _decode_segment_call(self, dev_token, dev_pos, k):
+        # Engine._generate_stream's loop is reused verbatim; only the
+        # fused-segment dispatch goes through the sp mesh
+        return sp_decode_segment(
+            self.cfg, self.sp_mesh, self.params, self.rope, self.cache,
+            dev_token, dev_pos, self.key,
+            k=k,
+            temperature=self.eng.temperature,
+            top_k=self.eng.top_k,
+            top_p=self.eng.top_p,
+            attn_impl=self.attn_impl,
+        )

@@ -198,8 +198,13 @@ def draft_logits(ecfg: EagleConfig, ep: dict, base_params: dict, base_cfg: Model
         # through the quant kernel; its N padding is sliced back here so the
         # zero-logit pad columns can't win the draft top-k.
         logits = linear(ep["lm_head"], h).astype(jnp.float32)
-        if ecfg.frspec_vocab_size and logits.shape[-1] > ecfg.frspec_vocab_size:
-            logits = logits[..., : ecfg.frspec_vocab_size]
+        # slice back any pack_weights_padded N-padding regardless of
+        # FR-Spec: exact-zero pad logits would otherwise be eligible to
+        # win the draft top-k whenever every real logit is negative
+        true_vocab = (ecfg.frspec_vocab_size
+                      or ecfg.model.vocab_size)
+        if logits.shape[-1] > true_vocab:
+            logits = logits[..., :true_vocab]
     else:
         from ..layers.modules import lm_head
 

@@ -49,6 +49,25 @@ def test_hier_matches_plain_greedy(setup):
     assert hier.mean_inner_accept_length() >= 1.0
 
 
+def test_hier_min_draft_length_one(setup):
+    """min_draft_length=1 is legal: one inner round's tree_size tokens is
+    less than max_chain = 1 + tree_size, so the fused round must size its
+    inner scan by ceil(max_chain / tree_size), not by min_draft_length
+    (previously an AssertionError at trace time)."""
+    cfg, params, draft_cfg, dparams, ecfg, eparams = setup
+    eng = EngineConfig(chunk_length=8, max_total_length=256)
+
+    plain = Engine(cfg, eng, params, attn_impl="xla")
+    want, _, _ = plain.generate([1, 2, 3], generation_length=10)
+
+    hier = HierSpecEngine(
+        cfg, draft_cfg, ecfg, eng, params, dparams, eparams,
+        attn_impl="xla", min_draft_length=1,
+    )
+    got, _, _ = hier.generate([1, 2, 3], generation_length=10)
+    assert got == want
+
+
 def test_hier_reset_reproducible(setup):
     cfg, params, draft_cfg, dparams, ecfg, eparams = setup
     eng = EngineConfig(chunk_length=8, max_total_length=256)
