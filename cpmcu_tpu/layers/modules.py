@@ -52,10 +52,25 @@ def linear(p: dict, x, layer=None, norm=None):
 
         y = quant_matmul(x, p["q"], p["s"], layer=layer, norm=norm)
     else:
-        if norm is not None:
-            x = rms_norm(x, norm[0], norm[1])
-        w = p["w"] if layer is None else p["w"][layer]
-        y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+        K = x.shape[-1]
+        N = p["w"].shape[-1]
+        if (norm is not None and jax.default_backend() == "tpu"
+                and x.ndim == 2 and x.shape[0] <= 64
+                and K % 512 == 0 and N % 512 == 0):
+            # decode-shaped dense: fuse the norm into the matmul kernel
+            # (separate norm ops are dispatch-latency-bound — the bf16
+            # analog of the quant kernel's fused-norm path; also reads
+            # stacked (L, K, N) weights in place via the layer BlockSpec)
+            from ..ops.dense import dense_matmul_norm
+
+            y = dense_matmul_norm(x, p["w"], norm[0], norm_eps=norm[1],
+                                  layer=layer)
+        else:
+            if norm is not None:
+                x = rms_norm(x, norm[0], norm[1])
+            w = p["w"] if layer is None else p["w"][layer]
+            y = jnp.dot(x, w,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
     if "b" in p:
         b = p["b"] if layer is None else p["b"][layer]
         y = y + b

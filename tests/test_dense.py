@@ -1,0 +1,48 @@
+"""Norm-fused dense decode matmul (ops/dense.py) vs the XLA reference."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cpmcu_tpu.ops.dense import dense_matmul_norm
+
+
+def _ref(x, w, nw, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xn = (xf * jax.lax.rsqrt(var + eps) * nw.astype(jnp.float32)).astype(
+        x.dtype
+    )
+    return jnp.dot(xn, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def test_dense_matmul_norm_matches_xla():
+    rng = np.random.default_rng(0)
+    M, K, N = 4, 1024, 1536
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+    nw = jnp.asarray(rng.normal(size=(K,)).astype(np.float32))
+
+    got = dense_matmul_norm(x, w, nw, norm_eps=1e-6, interpret=True)
+    want = _ref(x, w, nw, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_dense_matmul_norm_layer_indexed():
+    """Stacked (L, K, N) weights read in place via the layer BlockSpec —
+    the decode path must not slice-copy per layer (CLAUDE.md weight-copy
+    trap)."""
+    rng = np.random.default_rng(1)
+    L, M, K, N = 3, 1, 512, 512
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(L, K, N)).astype(np.float32) * 0.05)
+    nw = jnp.asarray(rng.normal(size=(K,)).astype(np.float32))
+
+    for li in range(L):
+        got = dense_matmul_norm(x, w, nw, norm_eps=1e-6, layer=li,
+                                interpret=True)
+        want = _ref(x, w[li], nw, 1e-6)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
