@@ -56,7 +56,7 @@ def linear(p: dict, x, layer=None, norm=None):
         N = p["w"].shape[-1]
         if (norm is not None and jax.default_backend() == "tpu"
                 and x.ndim == 2 and x.shape[0] <= 64
-                and K % 512 == 0 and N % 512 == 0):
+                and K % 512 == 0 and N % 128 == 0):
             # decode-shaped dense: fuse the norm into the matmul kernel
             # (separate norm ops are dispatch-latency-bound — the bf16
             # analog of the quant kernel's fused-norm path; also reads

@@ -46,3 +46,18 @@ def test_dense_matmul_norm_layer_indexed():
         want = _ref(x, w[li], nw, 1e-6)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_dense_matmul_norm_unaligned_bn():
+    """N=1280 (the 0.5B qkv width): no ladder divisor, bn falls back to N —
+    the dispatch gate in layers.modules only requires 128-alignment."""
+    rng = np.random.default_rng(2)
+    M, K, N = 2, 1024, 1280
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+    nw = jnp.asarray(rng.normal(size=(K,)).astype(np.float32))
+
+    got = dense_matmul_norm(x, w, nw, norm_eps=1e-5, interpret=True)
+    want = _ref(x, w, nw, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
