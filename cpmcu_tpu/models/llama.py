@@ -118,20 +118,16 @@ def make_rope(cfg: ModelConfig, max_len: int):
     return rope_tables(cfg.rope, cfg.head_dim, max_len, seq_len=max_len)
 
 
-def forward_batch(cfg: ModelConfig, params: dict, tokens: jax.Array) -> jax.Array:
-    """Cache-free batched causal forward: (B, T) -> fp32 logits (B, T, V).
-
-    Used for perplexity eval and the training step (the inference engine uses
-    ``forward`` below). Same layer math as ``forward``; attention is plain
-    causal over the batch.
-    """
+def batch_layer_stack(cfg: ModelConfig, layers_params: dict, h: jax.Array,
+                      rope_cos, rope_sin) -> jax.Array:
+    """Apply a stack of decoder layers to (B, T, H) hidden states (cache-free
+    causal attention). Shared by ``forward_batch`` and the pipeline-parallel
+    stage (parallel/pipeline.py), which scans it over its LOCAL layer shard."""
     from ..layers.modules import linear
     from ..layers.rotary import apply_rope
 
-    B, T = tokens.shape
-    rope_cos, rope_sin = rope_tables(cfg.rope, cfg.head_dim, T)
+    T = h.shape[1]
     positions = jnp.arange(T, dtype=jnp.int32)
-    h = embedding(params["embed"], tokens, cfg.scale_emb, cfg.jnp_dtype)
     KVH, G, D = cfg.num_kv_heads, cfg.num_heads // cfg.num_kv_heads, cfg.head_dim
     causal = jnp.tril(jnp.ones((T, T), jnp.bool_))
 
@@ -161,7 +157,21 @@ def forward_batch(cfg: ModelConfig, params: dict, tokens: jax.Array) -> jax.Arra
         hidden = hidden + ffn_out * jnp.asarray(cfg.scale_residual, hidden.dtype)
         return hidden, None
 
-    h, _ = jax.lax.scan(body, h, params["layers"])
+    h, _ = jax.lax.scan(body, h, layers_params)
+    return h
+
+
+def forward_batch(cfg: ModelConfig, params: dict, tokens: jax.Array) -> jax.Array:
+    """Cache-free batched causal forward: (B, T) -> fp32 logits (B, T, V).
+
+    Used for perplexity eval and the training step (the inference engine uses
+    ``forward`` below). Same layer math as ``forward``; attention is plain
+    causal over the batch.
+    """
+    B, T = tokens.shape
+    rope_cos, rope_sin = rope_tables(cfg.rope, cfg.head_dim, T)
+    h = embedding(params["embed"], tokens, cfg.scale_emb, cfg.jnp_dtype)
+    h = batch_layer_stack(cfg, params["layers"], h, rope_cos, rope_sin)
     normed = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     logits = lm_head(params["lm_head"], normed, cfg.scale_lmhead,
                      n_out=cfg.vocab_size)
