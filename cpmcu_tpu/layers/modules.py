@@ -52,19 +52,26 @@ def linear(p: dict, x, layer=None, norm=None):
 
         y = quant_matmul(x, p["q"], p["s"], layer=layer, norm=norm)
     else:
+        from ..ops.dense import decode_supported, dense_matmul, dense_matmul_norm
+
         K = x.shape[-1]
         N = p["w"].shape[-1]
-        if (norm is not None and jax.default_backend() == "tpu"
-                and x.ndim == 2 and x.shape[0] <= 64
-                and K % 512 == 0 and N % 128 == 0):
+        use_kernel = (
+            jax.default_backend() == "tpu" and x.ndim == 2
+            and (norm is not None or layer is not None)
+            and decode_supported(x.shape[0], K, N)
+        )
+        if use_kernel and norm is not None:
             # decode-shaped dense: fuse the norm into the matmul kernel
             # (separate norm ops are dispatch-latency-bound — the bf16
             # analog of the quant kernel's fused-norm path; also reads
             # stacked (L, K, N) weights in place via the layer BlockSpec)
-            from ..ops.dense import dense_matmul_norm
-
             y = dense_matmul_norm(x, p["w"], norm[0], norm_eps=norm[1],
                                   layer=layer)
+        elif use_kernel:
+            # layer-indexed wo / w_down: stacked weights read in place
+            # (w[layer] slicing copies the weight every decode step)
+            y = dense_matmul(x, p["w"], layer=layer)
         else:
             if norm is not None:
                 x = rms_norm(x, norm[0], norm[1])

@@ -25,9 +25,11 @@ TPU-idiomatic design (static shapes, MXU-friendly, no ragged all-to-all):
     rest contribute zeros). Activations never reshard — the only
     collective is one psum on (T, H), riding ICI.
 
-Autodiff: dispatch/combine are einsums of stop-gradient one-hots with
-differentiable gates, so ``value_and_grad`` flows to router and experts
-through the psum without custom rules.
+Autodiff: the one-hot dispatch derives from integer ``top_k`` indices (no
+gradient path by construction — if a future edit makes positions
+float-derived, add an explicit ``stop_gradient``); gradients flow to the
+router only through the softmaxed gates in ``combine``, and to the experts
+through the einsums and the psum, without custom rules.
 """
 
 from __future__ import annotations

@@ -61,3 +61,20 @@ def test_dense_matmul_norm_unaligned_bn():
     want = _ref(x, w, nw, 1e-5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_dense_matmul_layer_indexed():
+    """No-norm variant (decode wo / w_down): stacked weights in place."""
+    from cpmcu_tpu.ops.dense import dense_matmul
+
+    rng = np.random.default_rng(3)
+    L, M, K, N = 3, 2, 1024, 512
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(L, K, N)).astype(np.float32) * 0.05)
+    for li in range(L):
+        got = dense_matmul(x, w, layer=li, interpret=True)
+        want = jnp.dot(x, w[li], preferred_element_type=jnp.float32).astype(
+            x.dtype
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
