@@ -102,6 +102,11 @@ def add_generation_args(parser: argparse.ArgumentParser):
     _opt(g, "top_p", type=float, default=1.0)
     _opt(g, "top_k", type=int, default=0)
     _opt(g, "use_stream", type=str2bool, default=True, nargs="?", const=True)
+    _opt(g, "use_chat_template", type=str2bool, default=True, nargs="?",
+         const=True,
+         help="apply the tokenizer chat template to the prompt")
+    _opt(g, "ignore_eos", type=str2bool, default=False, nargs="?", const=True,
+         help="keep generating past EOS (benchmark mode)")
 
     d = parser.add_argument_group("Dataset Evaluation")
     _opt(d, "dataset", type=str, default=None,

@@ -23,7 +23,8 @@ def _resolve_prompt(args: dict, tokenizer) -> list:
         text = args["prompt_text"]
     else:
         text = "Hello, how are you?"
-    if getattr(tokenizer, "chat_template", None):
+    if (args.get("use_chat_template", True)
+            and getattr(tokenizer, "chat_template", None)):
         return tokenizer.apply_chat_template(
             [{"role": "user", "content": text}],
             add_generation_prompt=True,
@@ -52,7 +53,9 @@ def run_generation(args: dict) -> int:
     logger.info(f"max_total_length = {engine.max_total_length}")
 
     ids = _resolve_prompt(args, tokenizer)
-    terminators = [tokenizer.eos_token_id] if tokenizer.eos_token_id else []
+    terminators = ([] if args.get("ignore_eos")
+                   else [tokenizer.eos_token_id] if tokenizer.eos_token_id
+                   else [])
     gen_len = args.get("generation_length", 256)
 
     if args.get("dataset"):
