@@ -229,6 +229,11 @@ class EngineConfig:
     # tokens generated per fused device program (the CUDA-Graph-replay
     # analog; 1 = step-per-dispatch like the reference)
     decode_segment_size: int = 16
+    # reuse KV rows of the longest shared token prefix with the previous
+    # request (multi-turn chat skips re-prefilling the conversation
+    # history). Lossless: KV is deterministic in the token prefix. No
+    # reference counterpart (the reference re-prefills every request).
+    prefix_cache: bool = False
     # spec rounds fused per device program (1 = sync per round, like the
     # reference's per-step accept readback). On a tunneled device the
     # per-dispatch round trip (~50-70ms) dominates a ~10ms device round, so

@@ -120,6 +120,10 @@ class Engine:
         self.host_len = 0  # committed tokens, host mirror of cache.length
         self.key = jax.random.PRNGKey(eng.random_seed)
         self._last_prefill_time = 0.0
+        # prefix cache (eng.prefix_cache): token ids whose KV rows [0, n)
+        # are valid in the cache from the previous request
+        self._cached_tokens = np.zeros((0,), np.int32)
+        self._last_prefill_cached = 0  # observability: rows reused
 
     # -- sparse engagement ---------------------------------------------------
 
@@ -189,9 +193,24 @@ class Engine:
         t0 = time.time()
         if progress_callback:
             progress_callback("begin", {"total_tokens": total})
-        self.host_len = int(self.cache.length)  # resync once per prefill
+        start = 0
+        if self.eng.prefix_cache:
+            # skip re-prefilling the longest shared prefix with the previous
+            # request (its KV rows are already in the cache and identical —
+            # KV is deterministic in the token prefix). Keep >= 1 token to
+            # produce the first logits.
+            n = min(self._cached_tokens.size, total - 1)
+            if n > 0:
+                eq = self._cached_tokens[:n] == ids[:n]
+                start = n if eq.all() else int(np.argmin(eq))
+            self.cache = self.cache.with_length(start)
+            self.host_len = start
+            self._cached_tokens = ids[:start]
+        else:
+            self.host_len = int(self.cache.length)  # resync once per prefill
+        self._last_prefill_cached = start
         logits = None
-        for i in range(0, total, C):
+        for i in range(start, total, C):
             n = min(total - i, C)
             chunk = np.zeros((C,), np.int32)
             chunk[:n] = ids[i : i + n]
@@ -206,6 +225,8 @@ class Engine:
             if progress_callback:
                 progress_callback("advance", {"current_tokens": min(i + C, total)})
         logits.block_until_ready()
+        if self.eng.prefix_cache:
+            self._cached_tokens = ids.copy()  # all prompt rows now valid
         self._last_prefill_time = time.time() - t0
         if progress_callback:
             progress_callback("finish", {"total_time": self._last_prefill_time})
@@ -283,7 +304,31 @@ class Engine:
             unroll=self.unroll_layers(1, self.host_len + k + 8),
         )
 
-    def _generate_stream(self, input_ids, generation_length, terminators, progress_callback):
+    def _generate_stream(self, input_ids, generation_length, terminators,
+                         progress_callback):
+        if not self.eng.prefix_cache:
+            yield from self._generate_stream_inner(
+                input_ids, generation_length, terminators, progress_callback)
+            return
+        gen: List[int] = []
+        try:
+            for item in self._generate_stream_inner(
+                    input_ids, generation_length, terminators,
+                    progress_callback):
+                gen.append(item["token"])
+                yield item
+        finally:
+            # generated rows extend the reusable prefix (a follow-up turn
+            # shares prompt + this reply); truncate to committed rows —
+            # the final sampled token's row is never written
+            seq = np.concatenate([
+                np.asarray(input_ids, np.int32),
+                np.asarray(gen, np.int32),
+            ])
+            self._cached_tokens = seq[: self.host_len]
+
+    def _generate_stream_inner(self, input_ids, generation_length,
+                               terminators, progress_callback):
         terminators = set(int(t) for t in terminators)
         logits = self.prefill(input_ids, progress_callback)
         token = int(self._sample(logits))

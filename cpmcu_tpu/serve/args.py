@@ -51,6 +51,12 @@ def add_model_config_args(parser: argparse.ArgumentParser):
          choices=["auto", "flash", "xla"], help="attention kernel backend")
     _opt(s, "decode_segment_size", type=int, default=16,
          help="tokens per fused decode program (CUDA-graph-replay analog)")
+    _opt(s, "prefix_cache", type=str2bool, default=False, nargs="?",
+         const=True,
+         help="reuse KV of the longest token prefix shared with the "
+              "previous request (lossless; multi-turn chat skips "
+              "re-prefilling the history; dense engine only — spec/"
+              "batched engines ignore it)")
     _opt(s, "random_seed", type=int, default=0)
     _opt(s, "plain_output", type=str2bool, default=False, nargs="?", const=True)
 

@@ -133,6 +133,7 @@ def create_engine(args: dict):
         top_k=args.get("top_k", 0),
         random_seed=args.get("random_seed", 0),
         decode_segment_size=args.get("decode_segment_size", 16),
+        prefix_cache=args.get("prefix_cache", False),
         use_spec=draft_path is not None,
         spec_num_iter=args.get("spec_num_iter", 2),
         spec_topk_per_iter=args.get("spec_topk_per_iter", 10),
