@@ -10,6 +10,15 @@ mkdir -p "$(dirname "$OUT")"
 
 run() {
   local name="$1"; shift
+  # SWEEP_DEADLINE (epoch s): skip rows that could still be running at the
+  # deadline (row timeout 1400s + slack) so the driver's round-end
+  # bench.py gets the chip to itself
+  if [ -n "${SWEEP_DEADLINE:-}" ] && \
+     [ $(date +%s) -gt $((SWEEP_DEADLINE - 1500)) ]; then
+    echo "=== $name: SKIPPED (sweep deadline)" >&2
+    echo "{\"mode\": \"$name\", \"result\": \"skipped_deadline\"}" >> "$OUT"
+    return
+  fi
   echo "=== $name: $* (
 $(date +%H:%M:%S))" >&2
   local line
@@ -49,6 +58,12 @@ run batch_4_sparse_chain_spec python bench.py --batch 4 --sparse --spec --spec-t
 # prints its own summary lines — record its exit status only
 dataset() {
   local name="$1"; shift
+  if [ -n "${SWEEP_DEADLINE:-}" ] && \
+     [ $(date +%s) -gt $((SWEEP_DEADLINE - 1500)) ]; then
+    echo "=== $name: SKIPPED (sweep deadline)" >&2
+    echo "{\"mode\": \"$name\", \"result\": \"skipped_deadline\"}" >> "$OUT"
+    return
+  fi
   echo "=== $name: $* ($(date +%H:%M:%S))" >&2
   if timeout 1400 "$@" >&2 2>&1; then
     echo "{\"mode\": \"$name\", \"result\": \"ok\"}" >> "$OUT"
