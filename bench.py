@@ -351,6 +351,10 @@ def main():
                     action="store_false", default=True,
                     help="A/B: revert the quant kernel's pair-0 in-place "
                     "mask (ops.quant.TUNE['v3_extract']) to the v2 shift")
+    ap.add_argument("--no-dense-fusion", dest="dense_fusion",
+                    action="store_false", default=True,
+                    help="A/B: disable the ops.dense decode kernels "
+                    "(norm-fused + layer-indexed bf16 matmuls)")
     ap.add_argument("--init-deadline", type=int, default=300,
                     help="seconds to wait for device backend init before "
                     "emitting an error line (a wedged tunnel otherwise "
@@ -400,6 +404,10 @@ def main():
         from cpmcu_tpu.ops import quant as _q
 
         _q.TUNE["v3_extract"] = False
+    if not args.dense_fusion:
+        from cpmcu_tpu.ops import dense as _d
+
+        _d.TUNE["enable"] = False
     # batch mode splits the budget across slots
     max_len = args.max_len or per_seq * max(args.batch, 1)
     eng = EngineConfig(chunk_length=args.chunk_len, max_total_length=max_len)

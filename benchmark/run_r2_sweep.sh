@@ -35,6 +35,7 @@ $(date +%H:%M:%S))" >&2
 run dense        python bench.py --steps 64
 run dense_v2_extract python bench.py --no-v3-extract --steps 64
 run dense_05b_bf16 python bench.py --config minicpm4-0.5b --no-quant --steps 64
+run dense_05b_nofuse python bench.py --config minicpm4-0.5b --no-quant --no-dense-fusion --steps 64
 run spec_eagle2  python bench.py --spec --steps 64
 run spec_oracle  python bench.py --spec --oracle-accept --steps 64
 run sparse_spec_oracle python bench.py --sparse --spec --oracle-accept --prompt-len 32768 --steps 64

@@ -36,6 +36,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 BK = 512  # K rows per grid step
 
+# A/B toggle (bench --no-dense-fusion; ablation scripts mutate +
+# jax.clear_caches()): enable=False sends every dense linear down the XLA
+# path — hedges the first real-TPU run of these kernels.
+TUNE = {"enable": True}
+
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
@@ -47,7 +52,7 @@ def _round_up(x: int, m: int) -> int:
 
 def decode_supported(M: int, K: int, N: int) -> bool:
     """Shapes these kernels handle (everything else: XLA path)."""
-    return M <= 64 and K % BK == 0 and N % 128 == 0
+    return TUNE["enable"] and M <= 64 and K % BK == 0 and N % 128 == 0
 
 
 def _pick_bn(N: int) -> int:
