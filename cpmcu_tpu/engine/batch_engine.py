@@ -676,6 +676,21 @@ class ContinuousBatchingEngine:
     def has_work(self) -> bool:
         return bool(self.waiting or self.active)
 
+    def cancel(self, request_id: int) -> None:
+        """Retire a request early (client disconnect or a server-side
+        ``stop``-string match). Waiting requests are dropped; an active
+        slot is freed and its KV rows are overwritten by the next
+        admission. Call between steps (under the serving lock) — not
+        while a pipelined segment is in flight for the slot."""
+        self.waiting = deque(
+            r for r in self.waiting if r.request_id != request_id
+        )
+        for slot, req in list(self.active.items()):
+            if req.request_id == request_id:
+                req.done = True
+                del self.active[slot]
+                self.free_slots.append(slot)
+
     def _req_sampling(self, req: Request):
         return (
             self.eng.temperature if req.temperature is None else req.temperature,

@@ -87,15 +87,36 @@ class BatchChatBackend(ChatBackend):
 
     # -- API --------------------------------------------------------------------
 
+    def _cancel(self, rid):
+        """Server-side stop match: free the slot for other requests."""
+        with self.lock:
+            self.engine.cancel(rid)
+        self._queues.pop(rid, None)
+
     def completion(self, req: ChatCompletionRequest) -> Dict:
+        from .server import StopMatcher
+
+        matcher = StopMatcher(req.stop)
         rid, q, n_prompt = self._submit(req)
         toks = []
+        text, stopped = "", False
         terms = set(self._terminators())
         for ev in self._events(rid, q):
             if ev.token not in terms:
                 toks.append(ev.token)
-        text = self.tokenizer.decode(toks, skip_special_tokens=True)
-        finish = "stop" if len(toks) < req.max_tokens else "length"
+                if matcher:
+                    text = self.tokenizer.decode(toks,
+                                                 skip_special_tokens=True)
+                    cut = matcher.find(text)
+                    if cut is not None:
+                        text = text[:cut]
+                        stopped = True
+                        self._cancel(rid)
+                        break
+        if not matcher:
+            text = self.tokenizer.decode(toks, skip_special_tokens=True)
+        finish = ("stop" if stopped or len(toks) < req.max_tokens
+                  else "length")
         return chat_completion_response(
             completion_id(), self.model_name, text, finish, n_prompt, len(toks)
         )
@@ -105,21 +126,38 @@ class BatchChatBackend(ChatBackend):
         yield _sse(chat_completion_chunk(
             cid, self.model_name, {"role": "assistant", "content": ""}, None
         ))
+        from .server import StopMatcher
+
+        matcher = StopMatcher(req.stop)
         rid, q, _ = self._submit(req)
         terms = set(self._terminators())
-        buf, emitted = [], ""
+        buf, emitted, text = [], "", ""
         n = 0
+        stopped = False
         for ev in self._events(rid, q):
             n += 1
             if ev.token not in terms:
                 buf.append(ev.token)
                 text = self.tokenizer.decode(buf, skip_special_tokens=True)
-                if not text.endswith("�") and len(text) > len(emitted):
-                    yield _sse(chat_completion_chunk(
-                        cid, self.model_name, {"content": text[len(emitted):]},
-                        None,
-                    ))
-                    emitted = text
-        finish = "stop" if n < req.max_tokens else "length"
+                if not text.endswith("�"):
+                    cut = matcher.find(text)
+                    if cut is not None:
+                        text = text[:cut]
+                        stopped = True
+                    safe = text if stopped else text[: matcher.safe_len(text)]
+                    if len(safe) > len(emitted):
+                        yield _sse(chat_completion_chunk(
+                            cid, self.model_name,
+                            {"content": safe[len(emitted):]}, None,
+                        ))
+                        emitted = safe
+                    if stopped:
+                        self._cancel(rid)
+                        break
+        if not stopped and len(text) > len(emitted) and not text.endswith("�"):
+            yield _sse(chat_completion_chunk(
+                cid, self.model_name, {"content": text[len(emitted):]}, None,
+            ))
+        finish = "stop" if stopped or n < req.max_tokens else "length"
         yield _sse(chat_completion_chunk(cid, self.model_name, {}, finish))
         yield "data: [DONE]\n\n"

@@ -29,6 +29,7 @@ class ChatCompletionRequest:
     top_p: Optional[float] = None
     max_tokens: int = 512
     stream: bool = False
+    stop: Optional[List[str]] = None
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "ChatCompletionRequest":
@@ -42,6 +43,14 @@ class ChatCompletionRequest:
             if m["role"] not in ("system", "user", "assistant", "tool"):
                 raise ValueError(f"invalid role {m['role']!r}")
             messages.append(ChatMessage(m["role"], str(m["content"])))
+        stop = d.get("stop")
+        if stop is not None:
+            if isinstance(stop, str):
+                stop = [stop]
+            if (not isinstance(stop, list)
+                    or not all(isinstance(s, str) for s in stop)):
+                raise ValueError("stop must be a string or list of strings")
+            stop = [s for s in stop if s][:4]  # OpenAI caps at 4
         return ChatCompletionRequest(
             model=str(d.get("model", "cpmcu-tpu")),
             messages=messages,
@@ -49,6 +58,7 @@ class ChatCompletionRequest:
             top_p=d.get("top_p"),
             max_tokens=int(d.get("max_tokens") or d.get("max_completion_tokens") or 512),
             stream=bool(d.get("stream", False)),
+            stop=stop or None,
         )
 
 

@@ -26,6 +26,33 @@ from .openai_api import (
 )
 
 
+class StopMatcher:
+    """OpenAI ``stop`` sequences, matched on decoded TEXT: generation halts
+    at the first occurrence of any stop string, which is excluded from the
+    output (the reference stops on any single token of the encoded stop
+    strings, cpmcu/server.py:134-152 — text matching is the exact
+    semantics)."""
+
+    def __init__(self, stops):
+        self.stops = [s for s in (stops or []) if s]
+        self._hold = max((len(s) for s in self.stops), default=1) - 1
+
+    def __bool__(self):
+        return bool(self.stops)
+
+    def find(self, text: str) -> Optional[int]:
+        """Index of the earliest stop-string match, or None."""
+        cuts = [i for i in (text.find(s) for s in self.stops) if i != -1]
+        return min(cuts) if cuts else None
+
+    def safe_len(self, text: str) -> int:
+        """Longest prefix safe to stream now (a later chunk could complete
+        a stop string that started inside the held-back tail)."""
+        if not self.stops:
+            return len(text)
+        return max(0, len(text) - self._hold)
+
+
 class ChatBackend:
     """Engine + tokenizer behind a lock (requests serialize, server.py:34)."""
 
@@ -63,20 +90,46 @@ class ChatBackend:
         return eng
 
     def completion(self, req: ChatCompletionRequest) -> Dict:
+        matcher = StopMatcher(req.stop)
         with self.lock:
             prev = self._with_temperature(req)
             try:
                 ids = self._encode(req)
                 self.engine.reset()
                 terminators = self._terminators()
-                tokens, _, _ = self.engine.generate(
-                    ids, generation_length=req.max_tokens,
-                    terminators=terminators,
-                )
+                if not matcher:
+                    tokens, _, _ = self.engine.generate(
+                        ids, generation_length=req.max_tokens,
+                        terminators=terminators,
+                    )
+                    text = self.tokenizer.decode(tokens,
+                                                 skip_special_tokens=True)
+                    finish = ("stop" if len(tokens) < req.max_tokens
+                              else "length")
+                else:
+                    # consume the stream so a stop match halts decoding
+                    tokens, text, finish = [], "", None
+                    terms = set(terminators)
+                    for item in self.engine.generate(
+                        ids, generation_length=req.max_tokens,
+                        terminators=terminators, use_stream=True,
+                    ):
+                        if item["token"] not in terms:
+                            tokens.append(item["token"])
+                            text = self.tokenizer.decode(
+                                tokens, skip_special_tokens=True)
+                            cut = matcher.find(text)
+                            if cut is not None:
+                                text = text[:cut]
+                                finish = "stop"
+                                break
+                        if item["is_finished"]:
+                            break
+                    if finish is None:
+                        finish = ("stop" if len(tokens) < req.max_tokens
+                                  else "length")
             finally:
                 self.engine.eng = prev
-        text = self.tokenizer.decode(tokens, skip_special_tokens=True)
-        finish = "stop" if len(tokens) < req.max_tokens else "length"
         return chat_completion_response(
             completion_id(), self.model_name, text, finish, len(ids), len(tokens)
         )
@@ -87,6 +140,8 @@ class ChatBackend:
         yield _sse(chat_completion_chunk(
             cid, self.model_name, {"role": "assistant", "content": ""}, None
         ))
+        matcher = StopMatcher(req.stop)
+        stopped = False
         with self.lock:
             prev = self._with_temperature(req)
             try:
@@ -94,6 +149,7 @@ class ChatBackend:
                 self.engine.reset()
                 terminators = self._terminators()
                 emitted = ""
+                text = ""
                 buf = []
                 n = 0
                 for item in self.engine.generate(
@@ -104,17 +160,34 @@ class ChatBackend:
                     if item["token"] not in terminators:
                         buf.append(item["token"])
                         text = self.tokenizer.decode(buf, skip_special_tokens=True)
-                        if not text.endswith("�") and len(text) > len(emitted):
-                            yield _sse(chat_completion_chunk(
-                                cid, self.model_name,
-                                {"content": text[len(emitted):]}, None,
-                            ))
-                            emitted = text
+                        if not text.endswith("�"):
+                            cut = matcher.find(text)
+                            if cut is not None:
+                                text = text[:cut]
+                                stopped = True
+                            # hold back a tail that could start a stop match
+                            safe = text if stopped else \
+                                text[: matcher.safe_len(text)]
+                            if len(safe) > len(emitted):
+                                yield _sse(chat_completion_chunk(
+                                    cid, self.model_name,
+                                    {"content": safe[len(emitted):]}, None,
+                                ))
+                                emitted = safe
+                            if stopped:
+                                break
                     if item["is_finished"]:
                         break
+                if not stopped and len(text) > len(emitted) \
+                        and not text.endswith("�"):
+                    # flush the held-back tail
+                    yield _sse(chat_completion_chunk(
+                        cid, self.model_name,
+                        {"content": text[len(emitted):]}, None,
+                    ))
             finally:
                 self.engine.eng = prev
-        finish = "stop" if n < req.max_tokens else "length"
+        finish = "stop" if stopped or n < req.max_tokens else "length"
         yield _sse(chat_completion_chunk(cid, self.model_name, {}, finish))
         yield "data: [DONE]\n\n"
 

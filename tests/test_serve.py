@@ -437,3 +437,62 @@ def test_per_slot_sampling_greedy_matches_static():
     # row 2: top-k=3 restricts support to the 3 largest logits
     top3 = set(np.argsort(np.asarray(logits)[2])[-3:].tolist())
     assert out[2] in top3
+
+
+# ---------------------------------------------------------------------------
+# OpenAI stop sequences (reference: cpmcu/server.py:134-152)
+# ---------------------------------------------------------------------------
+
+
+def _greedy_text(server, max_tokens=12):
+    with _post(server + "/v1/chat/completions", {
+        "model": "tiny", "max_tokens": max_tokens,
+        "messages": [{"role": "user", "content": "hi"}],
+    }) as r:
+        return json.loads(r.read())["choices"][0]["message"]["content"]
+
+
+def test_server_stop_sequence(server):
+    full = _greedy_text(server)
+    assert len(full) >= 4
+    stop = full[2:4]
+    with _post(server + "/v1/chat/completions", {
+        "model": "tiny", "max_tokens": 12, "stop": stop,
+        "messages": [{"role": "user", "content": "hi"}],
+    }) as r:
+        out = json.loads(r.read())
+    c = out["choices"][0]
+    assert c["finish_reason"] == "stop"
+    assert c["message"]["content"] == full[: full.index(stop)]
+    assert stop not in c["message"]["content"]
+
+
+def test_server_stop_sequence_stream(server):
+    full = _greedy_text(server)
+    stop = full[2:4]
+    with _post(server + "/v1/chat/completions", {
+        "model": "tiny", "max_tokens": 12, "stream": True,
+        "stop": [stop],
+        "messages": [{"role": "user", "content": "hi"}],
+    }) as r:
+        body = r.read().decode()
+    events = [json.loads(l[6:]) for l in body.splitlines()
+              if l.startswith("data: ") and l != "data: [DONE]"]
+    text = "".join(e["choices"][0]["delta"].get("content", "")
+                   for e in events)
+    assert text == full[: full.index(stop)]
+    assert events[-1]["choices"][0]["finish_reason"] == "stop"
+
+
+def test_batch_server_stop_sequence(batch_server):
+    full = _greedy_text(batch_server)
+    assert len(full) >= 4
+    stop = full[2:4]
+    with _post(batch_server + "/v1/chat/completions", {
+        "model": "tiny", "max_tokens": 12, "stop": stop,
+        "messages": [{"role": "user", "content": "hi"}],
+    }) as r:
+        out = json.loads(r.read())
+    c = out["choices"][0]
+    assert c["finish_reason"] == "stop"
+    assert c["message"]["content"] == full[: full.index(stop)]
