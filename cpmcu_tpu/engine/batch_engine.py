@@ -645,6 +645,10 @@ class ContinuousBatchingEngine:
         # runs once per drained segment, cache.batch_sparse_kv discipline)
         self._compressed_lengths = np.zeros((max_batch,), np.int32)
         self._requests: Dict[int, Request] = {}  # all submitted, by id
+        # prefix cache (eng.prefix_cache): per-slot prompt whose KV rows
+        # [0, n) are still valid from the slot's previous request
+        self._slot_tokens: Dict[int, np.ndarray] = {}
+        self._last_admit_cached = 0  # observability: rows reused
 
     # -- API -----------------------------------------------------------------
 
@@ -973,20 +977,51 @@ class ContinuousBatchingEngine:
         clen = max((hist - stride) // stride, 0)
         return clen * stride > cfg.sparse_switch
 
+    def _pick_slot(self, ids: np.ndarray):
+        """(free-slot list index, shared prefix rows): with eng.prefix_cache,
+        prefer the free slot whose previous prompt shares the longest token
+        prefix with ``ids`` — those KV rows are deterministic in the tokens
+        and can be kept (the slot-granular analog of Engine's prefix cache;
+        no reference counterpart)."""
+        if not self.eng.prefix_cache:
+            return 0, 0
+        best_i, best_n = 0, 0
+        for si, s in enumerate(self.free_slots):
+            prev = self._slot_tokens.get(s)
+            if prev is None:
+                continue
+            n = min(prev.size, ids.size - 1)  # keep >= 1 token for logits
+            if n <= 0:
+                continue
+            if self.cfg.apply_sparse:
+                # compressed mirrors may lag the rows (compression runs per
+                # drained segment); only rows with mirrors are reusable
+                n = min(n, int(self._compressed_lengths[s]))
+            eq = prev[:n] == ids[:n]
+            shared = n if eq.all() else int(np.argmin(eq))
+            if shared > best_n:
+                best_i, best_n = si, shared
+        return best_i, best_n
+
     def _admit(self, events: List[StepEvent]):
         C = self.eng.chunk_length
         while self.waiting and self.free_slots:
             req = self.waiting.popleft()
-            slot = self.free_slots.pop(0)
-            req.slot = slot
-            # reset the slot's length and chunk-prefill the prompt
-            self.bcache = dataclasses.replace(
-                self.bcache, lengths=self.bcache.lengths.at[slot].set(0),
-            )
-            self._compressed_lengths[slot] = 0
             ids = np.asarray(req.prompt_ids, np.int32)
+            slot_i, start = self._pick_slot(ids)
+            slot = self.free_slots.pop(slot_i)
+            req.slot = slot
+            self._slot_tokens[slot] = ids  # rows valid once prefill lands
+            self._last_admit_cached = start
+            # set the slot's length to the reused prefix (0 when cold) and
+            # chunk-prefill the rest of the prompt
+            self.bcache = dataclasses.replace(
+                self.bcache,
+                lengths=self.bcache.lengths.at[slot].set(start),
+            )
+            self._compressed_lengths[slot] = start
             logits = None
-            i = 0
+            i = start
             while i < len(ids):
                 n = min(len(ids) - i, C)
                 # bucketed chunk width: a 512-token prompt in a 2048 chunk

@@ -80,3 +80,57 @@ def test_prefix_cache_identical_prompt_reuses_all_but_one():
     out2, _, _ = warm.generate(p, generation_length=6)
     assert warm._last_prefill_cached == len(p) - 1  # >=1 token re-run
     assert out1 == out2
+
+
+# ---------------------------------------------------------------------------
+# continuous batching: slot-granular prefix reuse
+# ---------------------------------------------------------------------------
+
+
+def _batch_engines(sparse=False, seed=0):
+    from cpmcu_tpu.engine.batch_engine import ContinuousBatchingEngine
+
+    cfg = _cfg(sparse)
+    params = llama.init_params(cfg, jax.random.PRNGKey(seed))
+    kw = dict(chunk_length=16, max_total_length=2048 if sparse else 1024,
+              decode_segment_size=4)
+    warm = ContinuousBatchingEngine(
+        cfg, EngineConfig(prefix_cache=True, **kw), params, max_batch=2,
+        attn_impl="xla")
+    cold = ContinuousBatchingEngine(
+        cfg, EngineConfig(**kw), params, max_batch=2, attn_impl="xla")
+    return warm, cold
+
+
+def _run_one(engine, prompt, n=6):
+    rid = engine.submit(prompt, max_new_tokens=n)
+    out = engine.run() if hasattr(engine, "run") else None
+    if out is not None and rid in out:
+        return out[rid]
+    toks = []
+    while engine.has_work:
+        for ev in engine.step():
+            if ev.request_id == rid:
+                toks.append(ev.token)
+    return toks
+
+
+@pytest.mark.parametrize("sparse", [False, True], ids=["dense", "sparse"])
+def test_batch_prefix_cache_lossless(sparse):
+    warm, cold = _batch_engines(sparse)
+    p1 = list(range(1, 40))
+    out1 = _run_one(warm, p1)
+    assert warm._last_admit_cached == 0
+
+    p2 = p1 + out1 + [7, 8, 9]
+    out2 = _run_one(warm, p2)
+    assert warm._last_admit_cached > 0  # reused the shared prefix
+    want2 = _run_one(cold, p2)
+    assert out2 == want2
+
+    # diverging prompt reuses only the common prefix
+    p3 = p1[:12] + [101, 102] + list(range(150, 170))
+    out3 = _run_one(warm, p3)
+    assert warm._last_admit_cached <= 12
+    want3 = _run_one(cold, p3)
+    assert out3 == want3
