@@ -55,8 +55,8 @@ def add_model_config_args(parser: argparse.ArgumentParser):
          const=True,
          help="reuse KV of the longest token prefix shared with the "
               "previous request (lossless; multi-turn chat skips "
-              "re-prefilling the history; dense engine only — spec/"
-              "batched engines ignore it)")
+              "re-prefilling the history; dense + continuous-batching "
+              "engines — spec engines ignore it)")
     _opt(s, "random_seed", type=int, default=0)
     _opt(s, "plain_output", type=str2bool, default=False, nargs="?", const=True)
 
