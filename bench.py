@@ -260,6 +260,43 @@ def bench_sparse(cfg, eng, steps=64, prompt_len=32768):
     return bench_decode(cfg, eng, steps=steps, warmup=8, prompt_len=prompt_len)
 
 
+def bench_prefix_cache(cfg, eng, prompt_len=8192):
+    """Multi-turn prefill with prefix caching (beyond the reference, which
+    re-prefills every request): turn 2's prompt = turn 1's prompt + reply +
+    a short new question; reports the effective prefill tok/s of turn 2
+    (prompt tokens / wall time with the shared prefix reused) vs cold."""
+    import jax
+
+    from cpmcu_tpu.engine.engine import Engine
+
+    eng = dataclasses.replace(eng, prefix_cache=True)
+    params = make_params(cfg, jax.random.PRNGKey(0))
+    engine = Engine(cfg, eng, params)
+    rng = np.random.default_rng(0)
+    p1 = rng.integers(0, cfg.vocab_size, size=prompt_len).tolist()
+
+    # compile warmup at the longest shapes, then forget the prefix
+    _engine_turn(engine, rng.integers(0, cfg.vocab_size,
+                                      size=prompt_len + 80).tolist())
+    engine.reset()
+    engine._cached_tokens = np.zeros((0,), np.int32)
+
+    out1, _, cold_t = _engine_turn(engine, p1)
+    p2 = p1 + out1 + rng.integers(0, cfg.vocab_size, size=64).tolist()
+    out2, _, warm_t = _engine_turn(engine, p2)
+    assert engine._last_prefill_cached >= prompt_len, "prefix not reused"
+    return {
+        "decode_tok_s": len(p2) / max(warm_t, 1e-9),  # effective tok/s
+        "prefill_tok_s": prompt_len / max(cold_t, 1e-9),
+        "cached_rows": engine._last_prefill_cached,
+    }
+
+
+def _engine_turn(engine, ids, n=8):
+    toks, decode_t, prefill_t = engine.generate(ids, generation_length=n)
+    return toks, decode_t, prefill_t
+
+
 def bench_batch(cfg, eng, steps=64, prompt_len=128, batch=8, spec=False):
     """Continuous batching aggregate throughput (no reference counterpart).
 
@@ -351,6 +388,9 @@ def main():
                     action="store_false", default=True,
                     help="A/B: revert the quant kernel's pair-0 in-place "
                     "mask (ops.quant.TUNE['v3_extract']) to the v2 shift")
+    ap.add_argument("--prefix-bench", action="store_true",
+                    help="multi-turn prefill with prefix caching: reports "
+                    "turn-2 effective prefill tok/s (shared prefix reused)")
     ap.add_argument("--no-dense-fusion", dest="dense_fusion",
                     action="store_false", default=True,
                     help="A/B: disable the ops.dense decode kernels "
@@ -474,6 +514,10 @@ def main():
                            oracle_accept=args.oracle_accept)
             extra["mean_accept_length"] = round(r["mean_accept"], 3)
             mode = f"{args.spec_type}-spec"
+        elif args.prefix_bench:
+            r = bench_prefix_cache(cfg, eng, prompt_len=args.prompt_len)
+            extra["cached_rows"] = r["cached_rows"]
+            mode = f"prefix-cache-{args.prompt_len}"
         else:
             r = bench_decode(cfg, eng, steps=args.steps, prompt_len=args.prompt_len)
             mode = "dense"

@@ -54,6 +54,7 @@ run batch_4_sparse python bench.py --batch 4 --sparse --prompt-len 8192 --steps 
 run batch_8_chain_spec python bench.py --batch 8 --spec --spec-type chain --steps 64
 run batch_8_eagle_spec python bench.py --batch 8 --spec --steps 64
 run batch_4_sparse_chain_spec python bench.py --batch 4 --sparse --spec --spec-type chain --prompt-len 8192 --steps 64
+run prefix_8k    python bench.py --prefix-bench --prompt-len 8192
 
 # dataset-eval machinery end-to-end on TPU (VERDICT r1 item 4); the runner
 # prints its own summary lines — record its exit status only
