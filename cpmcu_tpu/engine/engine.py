@@ -212,16 +212,23 @@ class Engine:
         logits = None
         for i in range(start, total, C):
             n = min(total - i, C)
-            chunk = np.zeros((C,), np.int32)
+            # bucketed chunk width (pow-2 ladder from 256): a short prompt
+            # in a full-width chunk wastes GEMM work proportional to the
+            # PADDING — same discipline as the batch engine's slot prefill
+            cw = 256
+            while cw < n:
+                cw *= 2
+            cw = min(cw, C)
+            chunk = np.zeros((cw,), np.int32)
             chunk[:n] = ids[i : i + n]
-            pos = np.arange(i, i + C, dtype=np.int32)
+            pos = np.arange(i, i + cw, dtype=np.int32)
             with perf_scope("prefill_chunk"):
                 logits = self._forward(
                     jnp.asarray(chunk), jnp.asarray(pos),
                     logits_idx=jnp.asarray(n - 1, jnp.int32),
                     logits_mode="index",
                 )
-            self.commit(n, max_new=C)
+            self.commit(n, max_new=cw)
             if progress_callback:
                 progress_callback("advance", {"current_tokens": min(i + C, total)})
         logits.block_until_ready()
