@@ -279,7 +279,7 @@ def bench_prefix_cache(cfg, eng, prompt_len=8192):
     _engine_turn(engine, rng.integers(0, cfg.vocab_size,
                                       size=prompt_len + 80).tolist())
     engine.reset()
-    engine._cached_tokens = np.zeros((0,), np.int32)
+    engine.forget_prefix()
 
     out1, _, cold_t = _engine_turn(engine, p1)
     p2 = p1 + out1 + rng.integers(0, cfg.vocab_size, size=64).tolist()

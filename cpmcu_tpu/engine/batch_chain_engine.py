@@ -31,6 +31,7 @@ from ..core.config import EngineConfig, ModelConfig
 from ..models import llama
 from ..ops.sampling import sample
 from ..spec.verify import verify_tree
+from .engine import chunk_width
 from .batch_engine import (
     BatchKVCache,
     ContinuousBatchingEngine,
@@ -243,10 +244,7 @@ class BatchChainSpecEngine(ContinuousBatchingEngine):
         i = 0
         while i < len(ids):
             n = min(len(ids) - i, C)
-            cw = 256
-            while cw < n:
-                cw *= 2
-            cw = min(cw, C)
+            cw = chunk_width(n, C)
             chunk = np.zeros((cw,), np.int32)
             chunk[:n] = ids[i : i + n]
             pos = np.arange(i, i + cw, dtype=np.int32)

@@ -42,6 +42,7 @@ from ..core.config import EngineConfig, ModelConfig
 from ..core.memory import solve_kv_budget
 from ..models import llama
 from ..ops.sampling import sample, sample_per_row
+from .engine import chunk_width
 
 
 @jax.tree_util.register_dataclass
@@ -1001,6 +1002,16 @@ class ContinuousBatchingEngine:
             shared = n if eq.all() else int(np.argmin(eq))
             if shared > best_n:
                 best_i, best_n = si, shared
+        if best_n == 0:
+            # cold request: overwrite the LEAST valuable cached prefix (an
+            # empty slot if any) instead of free_slots[0], which may hold a
+            # long conversation another turn is about to reuse
+            best_i = min(
+                range(len(self.free_slots)),
+                key=lambda si: self._slot_tokens.get(
+                    self.free_slots[si], np.zeros((0,), np.int32)
+                ).size,
+            )
         return best_i, best_n
 
     def _admit(self, events: List[StepEvent]):
@@ -1024,12 +1035,7 @@ class ContinuousBatchingEngine:
             i = start
             while i < len(ids):
                 n = min(len(ids) - i, C)
-                # bucketed chunk width: a 512-token prompt in a 2048 chunk
-                # wastes 4x GEMM work (prefill cost tracks the PADDED width)
-                cw = 256
-                while cw < n:
-                    cw *= 2
-                cw = min(cw, C)
+                cw = chunk_width(n, C)
                 chunk = np.zeros((cw,), np.int32)
                 chunk[:n] = ids[i : i + n]
                 pos = np.arange(i, i + cw, dtype=np.int32)

@@ -30,6 +30,18 @@ from ..ops.sampling import sample
 from ..utils.perf import perf_scope
 
 
+def chunk_width(n: int, cap: int) -> int:
+    """Bucketed prefill chunk width: pow-2 ladder from 256, capped at the
+    engine chunk length — prefill GEMM cost tracks the PADDED width, so a
+    short prompt must not ride a full-width chunk. Shared by Engine.prefill
+    and the batch engines' slot admission (one ladder, one compile-shape
+    set)."""
+    cw = 256
+    while cw < n:
+        cw *= 2
+    return min(cw, cap)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -124,6 +136,7 @@ class Engine:
         # are valid in the cache from the previous request
         self._cached_tokens = np.zeros((0,), np.int32)
         self._last_prefill_cached = 0  # observability: rows reused
+        self._prefill_epoch = 0  # bumped on each SUCCESSFUL prefill
 
     # -- sparse engagement ---------------------------------------------------
 
@@ -212,13 +225,7 @@ class Engine:
         logits = None
         for i in range(start, total, C):
             n = min(total - i, C)
-            # bucketed chunk width (pow-2 ladder from 256): a short prompt
-            # in a full-width chunk wastes GEMM work proportional to the
-            # PADDING — same discipline as the batch engine's slot prefill
-            cw = 256
-            while cw < n:
-                cw *= 2
-            cw = min(cw, C)
+            cw = chunk_width(n, C)
             chunk = np.zeros((cw,), np.int32)
             chunk[:n] = ids[i : i + n]
             pos = np.arange(i, i + cw, dtype=np.int32)
@@ -234,6 +241,7 @@ class Engine:
         logits.block_until_ready()
         if self.eng.prefix_cache:
             self._cached_tokens = ids.copy()  # all prompt rows now valid
+        self._prefill_epoch += 1
         self._last_prefill_time = time.time() - t0
         if progress_callback:
             progress_callback("finish", {"total_time": self._last_prefill_time})
@@ -256,9 +264,14 @@ class Engine:
         self.host_len += n
 
     def reset(self):
-        """Start a new sequence (KV content is overwritten lazily)."""
+        """Start a new sequence (KV content is overwritten lazily; the
+        prefix-cache record survives — use forget_prefix() to drop it)."""
         self.cache = self.cache.with_length(0)
         self.host_len = 0
+
+    def forget_prefix(self):
+        """Invalidate the prefix cache (e.g. after external cache writes)."""
+        self._cached_tokens = np.zeros((0,), np.int32)
 
     def _sample(self, logits) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
@@ -318,6 +331,7 @@ class Engine:
                 input_ids, generation_length, terminators, progress_callback)
             return
         gen: List[int] = []
+        epoch = self._prefill_epoch
         try:
             for item in self._generate_stream_inner(
                     input_ids, generation_length, terminators,
@@ -327,12 +341,16 @@ class Engine:
         finally:
             # generated rows extend the reusable prefix (a follow-up turn
             # shares prompt + this reply); truncate to committed rows —
-            # the final sampled token's row is never written
-            seq = np.concatenate([
-                np.asarray(input_ids, np.int32),
-                np.asarray(gen, np.int32),
-            ])
-            self._cached_tokens = seq[: self.host_len]
+            # the final sampled token's row is never written. ONLY when
+            # prefill succeeded: if it raised before touching the cache,
+            # the previous record is still the truth and recording THIS
+            # request's tokens would poison later reuse.
+            if self._prefill_epoch != epoch:
+                seq = np.concatenate([
+                    np.asarray(input_ids, np.int32),
+                    np.asarray(gen, np.int32),
+                ])
+                self._cached_tokens = seq[: self.host_len]
 
     def _generate_stream_inner(self, input_ids, generation_length,
                                terminators, progress_callback):

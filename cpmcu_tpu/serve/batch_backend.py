@@ -21,7 +21,7 @@ from .openai_api import (
     chat_completion_response,
     completion_id,
 )
-from .server import ChatBackend, _sse
+from .server import ChatBackend, StopMatcher, _sse
 
 
 class BatchChatBackend(ChatBackend):
@@ -94,12 +94,11 @@ class BatchChatBackend(ChatBackend):
         self._queues.pop(rid, None)
 
     def completion(self, req: ChatCompletionRequest) -> Dict:
-        from .server import StopMatcher
-
         matcher = StopMatcher(req.stop)
         rid, q, n_prompt = self._submit(req)
         toks = []
         text, stopped = "", False
+        scanned = 0
         terms = set(self._terminators())
         for ev in self._events(rid, q):
             if ev.token not in terms:
@@ -107,7 +106,8 @@ class BatchChatBackend(ChatBackend):
                 if matcher:
                     text = self.tokenizer.decode(toks,
                                                  skip_special_tokens=True)
-                    cut = matcher.find(text)
+                    cut = matcher.find(text, scanned)
+                    scanned = len(text)
                     if cut is not None:
                         text = text[:cut]
                         stopped = True
@@ -126,13 +126,12 @@ class BatchChatBackend(ChatBackend):
         yield _sse(chat_completion_chunk(
             cid, self.model_name, {"role": "assistant", "content": ""}, None
         ))
-        from .server import StopMatcher
-
         matcher = StopMatcher(req.stop)
         rid, q, _ = self._submit(req)
         terms = set(self._terminators())
         buf, emitted, text = [], "", ""
         n = 0
+        scanned = 0
         stopped = False
         for ev in self._events(rid, q):
             n += 1
@@ -140,7 +139,8 @@ class BatchChatBackend(ChatBackend):
                 buf.append(ev.token)
                 text = self.tokenizer.decode(buf, skip_special_tokens=True)
                 if not text.endswith("�"):
-                    cut = matcher.find(text)
+                    cut = matcher.find(text, scanned)
+                    scanned = len(text)
                     if cut is not None:
                         text = text[:cut]
                         stopped = True

@@ -54,8 +54,8 @@ def run_generation(args: dict) -> int:
 
     ids = _resolve_prompt(args, tokenizer)
     terminators = ([] if args.get("ignore_eos")
-                   else [tokenizer.eos_token_id] if tokenizer.eos_token_id
-                   else [])
+                   else [tokenizer.eos_token_id]
+                   if tokenizer.eos_token_id is not None else [])
     gen_len = args.get("generation_length", 256)
 
     if args.get("dataset"):

@@ -50,7 +50,9 @@ class ChatCompletionRequest:
             if (not isinstance(stop, list)
                     or not all(isinstance(s, str) for s in stop)):
                 raise ValueError("stop must be a string or list of strings")
-            stop = [s for s in stop if s][:4]  # OpenAI caps at 4
+            stop = [s for s in stop if s]
+            if len(stop) > 4:  # OpenAI rejects >4 rather than truncating
+                raise ValueError("stop accepts at most 4 sequences")
         return ChatCompletionRequest(
             model=str(d.get("model", "cpmcu-tpu")),
             messages=messages,

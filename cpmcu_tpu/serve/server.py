@@ -40,9 +40,17 @@ class StopMatcher:
     def __bool__(self):
         return bool(self.stops)
 
-    def find(self, text: str) -> Optional[int]:
-        """Index of the earliest stop-string match, or None."""
-        cuts = [i for i in (text.find(s) for s in self.stops) if i != -1]
+    def find(self, text: str, scan_from: int = 0) -> Optional[int]:
+        """Index of the earliest stop-string match, or None. ``scan_from``
+        = length of the previously scanned prefix, so incremental callers
+        only rescan the tail a new match could start in (keeps per-token
+        matching O(new chars), not O(total))."""
+        cuts = [
+            i for i in (
+                text.find(s, max(0, scan_from - len(s) + 1))
+                for s in self.stops
+            ) if i != -1
+        ]
         return min(cuts) if cuts else None
 
     def safe_len(self, text: str) -> int:
@@ -109,6 +117,7 @@ class ChatBackend:
                 else:
                     # consume the stream so a stop match halts decoding
                     tokens, text, finish = [], "", None
+                    scanned = 0
                     terms = set(terminators)
                     for item in self.engine.generate(
                         ids, generation_length=req.max_tokens,
@@ -118,7 +127,8 @@ class ChatBackend:
                             tokens.append(item["token"])
                             text = self.tokenizer.decode(
                                 tokens, skip_special_tokens=True)
-                            cut = matcher.find(text)
+                            cut = matcher.find(text, scanned)
+                            scanned = len(text)
                             if cut is not None:
                                 text = text[:cut]
                                 finish = "stop"
@@ -152,6 +162,7 @@ class ChatBackend:
                 text = ""
                 buf = []
                 n = 0
+                scanned = 0
                 for item in self.engine.generate(
                     ids, generation_length=req.max_tokens,
                     terminators=terminators, use_stream=True,
@@ -161,7 +172,8 @@ class ChatBackend:
                         buf.append(item["token"])
                         text = self.tokenizer.decode(buf, skip_special_tokens=True)
                         if not text.endswith("�"):
-                            cut = matcher.find(text)
+                            cut = matcher.find(text, scanned)
+                            scanned = len(text)
                             if cut is not None:
                                 text = text[:cut]
                                 stopped = True

@@ -134,3 +134,33 @@ def test_batch_prefix_cache_lossless(sparse):
     assert warm._last_admit_cached <= 12
     want3 = _run_one(cold, p3)
     assert out3 == want3
+
+
+def test_prefix_cache_survives_failed_prefill():
+    """A prefill that raises before touching the cache must NOT poison the
+    prefix record (review finding: the recording wrapper used to run its
+    finally block and record the FAILED request's tokens)."""
+    warm, cold = _engines()
+    p1 = list(range(1, 40))
+    warm.generate(p1, generation_length=6)
+
+    too_long = list(range(1, 600))  # > max_total_length=512
+    with pytest.raises(ValueError):
+        warm.generate(too_long, generation_length=4)
+
+    # p2 shares a prefix with the FAILED prompt beyond p1's length; reuse
+    # must be capped at rows that are actually in the cache
+    p2 = list(range(1, 60))
+    out2, _, _ = warm.generate(p2, generation_length=6)
+    cold.reset()
+    want2, _, _ = cold.generate(p2, generation_length=6)
+    assert out2 == want2
+
+
+def test_forget_prefix():
+    warm, _ = _engines()
+    p = list(range(2, 50))
+    warm.generate(p, generation_length=4)
+    warm.forget_prefix()
+    warm.generate(p, generation_length=4)
+    assert warm._last_prefill_cached == 0

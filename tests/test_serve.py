@@ -496,3 +496,15 @@ def test_batch_server_stop_sequence(batch_server):
     c = out["choices"][0]
     assert c["finish_reason"] == "stop"
     assert c["message"]["content"] == full[: full.index(stop)]
+
+
+def test_stop_param_validation():
+    from cpmcu_tpu.serve.openai_api import ChatCompletionRequest
+
+    base = {"model": "m", "messages": [{"role": "user", "content": "x"}]}
+    r = ChatCompletionRequest.from_dict({**base, "stop": "###"})
+    assert r.stop == ["###"]
+    with pytest.raises(ValueError):
+        ChatCompletionRequest.from_dict({**base, "stop": list("abcde")})
+    with pytest.raises(ValueError):
+        ChatCompletionRequest.from_dict({**base, "stop": 3})
