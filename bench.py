@@ -384,10 +384,13 @@ def main():
     ap.add_argument(
         "--config", default="minicpm4-8b", choices=["minicpm4-0.5b", "minicpm4-8b"]
     )
+    ap.add_argument("--v3-extract", dest="v3_extract",
+                    action="store_true", default=False,
+                    help="A/B: enable the quant kernel's pair-0 in-place "
+                    "mask (ops.quant.TUNE['v3_extract']); measured -3.6%% "
+                    "vs the default v2 shift on TPU (PERF.md)")
     ap.add_argument("--no-v3-extract", dest="v3_extract",
-                    action="store_false", default=True,
-                    help="A/B: revert the quant kernel's pair-0 in-place "
-                    "mask (ops.quant.TUNE['v3_extract']) to the v2 shift")
+                    action="store_false", help=argparse.SUPPRESS)
     ap.add_argument("--prefix-bench", action="store_true",
                     help="multi-turn prefill with prefix caching: reports "
                     "turn-2 effective prefill tok/s (shared prefix reused)")
@@ -440,10 +443,10 @@ def main():
     per_seq = (per_seq + 511) // 512 * 512
     if args.oracle_union:
         cfg = dataclasses.replace(cfg, sparse_oracle_union=True)
-    if not args.v3_extract:
+    if args.v3_extract:
         from cpmcu_tpu.ops import quant as _q
 
-        _q.TUNE["v3_extract"] = False
+        _q.TUNE["v3_extract"] = True
     if not args.dense_fusion:
         from cpmcu_tpu.ops import dense as _d
 

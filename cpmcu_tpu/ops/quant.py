@@ -62,8 +62,12 @@ SCALE_DTYPE = jnp.bfloat16
 #       n-8 are exact in bf16), while the decode path's post-dot fixup
 #       scales pair 0's fp32 dot-accumulation rounding by 128 instead of
 #       16 (~8x — still orders of magnitude under the int4 quantization
-#       step; parity-tested, and A/B-able via bench --no-v3-extract).
-TUNE = {"ku": 1, "bn_ladder": (2048, 1536, 1024, 512), "v3_extract": True}
+#       step; parity-tested, and A/B-able via bench --v3-extract).
+#       MEASURED 2026-08-18 (same chip, same day): v3 149.9 tok/s vs v2
+#       155.5 on the 8B dense decode — the op-count win does not realize
+#       on the VPU (the in-place mask breaks the common shift+and subword
+#       pattern Mosaic fuses), so v2 stays the default.
+TUNE = {"ku": 1, "bn_ladder": (2048, 1536, 1024, 512), "v3_extract": False}
 
 
 def _interpret_default() -> bool:
