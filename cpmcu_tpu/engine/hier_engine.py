@@ -92,7 +92,7 @@ def hier_catchup(
     jax.jit,
     static_argnames=(
         "base_cfg", "max_chain", "temperature", "top_k", "top_p",
-        "attn_impl", "sparse_select",
+        "attn_impl", "sparse_select", "defer_compress",
     ),
     donate_argnames=("cache",),
 )
@@ -104,17 +104,24 @@ def hier_outer_verify(
     n_valid,  # int32: 1 + m
     key,
     *, max_chain: int, temperature: float, top_k: int, top_p: float,
-    attn_impl: str, sparse_select: bool = False,
+    attn_impl: str, sparse_select: bool = False, defer_compress: bool = False,
 ):
     """Big-model chain decode + sequential verify of the accumulated drafts
-    (the reference's verify_seq_draft path, hier_ea...cuh:601-660)."""
+    (the reference's verify_seq_draft path, hier_ea...cuh:601-660).
+
+    The chain's KV rows are deferred (llama.forward defer_kv_write) and the
+    accepted rows written ONCE via commit_tree_rows — the write-then-compact
+    sequence forces a whole-cache carry copy inside fused segments
+    (round-2 profiling; see spec_engine._expand_and_verify)."""
+    from ..cache.kv import commit_tree_rows
+
     orig = cache.length
     S = max_chain + 1
     positions = orig + jnp.arange(S, dtype=jnp.int32)
-    logits, cache = llama.forward(
+    logits, cache, (k_pend, v_pend) = llama.forward(
         base_cfg, params, rope, cache, chain_tokens, positions,
         logits_mode="all", attn_impl=attn_impl, sparse_select=sparse_select,
-        unroll=True,
+        unroll=True, defer_kv_write=True,
     )
     if temperature == 0.0:
         gt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -130,7 +137,10 @@ def hier_outer_verify(
     accept_len, accept_pos, emitted = verify_tree(
         pred, gt, positions, tree_mask, tree_parent, orig
     )
-    cache = fix_kv(cache, accept_pos, accept_len, orig)
+    cache = commit_tree_rows(
+        cache, k_pend, v_pend, accept_pos, accept_len, orig,
+        defer_compress=defer_compress,
+    )
     path_logits = logits[accept_pos]
     return emitted, accept_len, cache, key, path_logits
 
@@ -140,6 +150,7 @@ def hier_outer_verify(
     static_argnames=(
         "base_cfg", "draft_cfg", "ecfg", "inner_rounds", "max_chain",
         "temperature", "top_k", "top_p", "attn_impl", "sparse_select",
+        "defer_compress",
     ),
     donate_argnames=("cache", "dcache", "ekv"),
 )
@@ -154,6 +165,7 @@ def hier_fused_round(
     draft0, key,
     *, inner_rounds: int, max_chain: int, temperature: float, top_k: int,
     top_p: float, attn_impl: str, sparse_select: bool = False,
+    defer_compress: bool = False,
 ):
     """One ENTIRE outer round in a single device program: catch-up +
     ``inner_rounds`` inner EAGLE spec rounds (lax.scan) + on-device chain
@@ -223,6 +235,7 @@ def hier_fused_round(
             base_cfg, params, rope, cache, padded, n_valid, key,
             max_chain=max_chain, temperature=temperature, top_k=top_k,
             top_p=top_p, attn_impl=attn_impl, sparse_select=sparse_select,
+            defer_compress=defer_compress,
         )
     )
 
@@ -232,6 +245,61 @@ def hier_fused_round(
         [emitted_o, alens.astype(jnp.int32), accept_len[None]]
     )
     return ints, cache, dcache, estate.kv, key, path_logits
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "base_cfg", "draft_cfg", "ecfg", "k", "inner_rounds", "max_chain",
+        "temperature", "top_k", "top_p", "attn_impl", "sparse_select",
+    ),
+    donate_argnames=("cache", "dcache", "ekv"),
+)
+def hier_segment(
+    base_cfg: ModelConfig,
+    draft_cfg: ModelConfig,
+    ecfg: EagleConfig,
+    params, rope, cache,
+    dparams, eparams, drope,
+    dcache: KVCache,
+    ekv: KVCache,
+    draft0, key,
+    *, k: int, inner_rounds: int, max_chain: int, temperature: float,
+    top_k: int, top_p: float, attn_impl: str, sparse_select: bool = False,
+):
+    """K fused outer rounds in ONE device program (the hier analog of
+    spec_engine.spec_segment): the per-round dispatch + packed-readback sync
+    otherwise dominates — round-2 profiling measured ~24 ms of device work
+    inside an ~80 ms wall-clock round on the tunneled chip. Returns
+    (ints (k, max_chain+1+inner_rounds+1), cache, dcache, ekv, root, key)
+    where ``root`` is the next segment's draft0 ON DEVICE, so segment N+1
+    can be dispatched before segment N's results are fetched."""
+    base_len = cache.length
+
+    def body(carry, _):
+        cache, dcache, ekv, root, key = carry
+        ints, cache, dcache, ekv, key, _ = hier_fused_round.__wrapped__(
+            base_cfg, draft_cfg, ecfg, params, rope, cache,
+            dparams, eparams, drope, dcache, ekv, root, key,
+            inner_rounds=inner_rounds, max_chain=max_chain,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            attn_impl=attn_impl, sparse_select=sparse_select,
+            defer_compress=True,
+        )
+        alen = ints[-1]
+        root = ints[jnp.clip(alen - 1, 0, max_chain)]
+        return (cache, dcache, ekv, root, key), ints
+
+    (cache, dcache, ekv, root, key), ints = jax.lax.scan(
+        body, (cache, dcache, ekv, draft0, key), None, length=k
+    )
+    if hasattr(cache, "c1"):
+        # one compress for the whole segment (in-scan compress ping-pongs
+        # the whole cache; see engine.decode_segment / spec_segment)
+        from ..cache.sparse_kv import compress_span
+
+        cache = compress_span(cache, base_len, max_new=k * (max_chain + 1))
+    return ints, cache, dcache, ekv, root, key
 
 
 class HierSpecEngine(Engine):
@@ -381,6 +449,70 @@ class HierSpecEngine(Engine):
     def _round_rows(self) -> int:
         return self.max_chain + 1
 
+    # -- fused outer-round segments (hier_segment) ---------------------------
+
+    def _segment_ready(self) -> bool:
+        if self._fresh:
+            return False
+        # the inner (draft) cache also grows by <= max_chain+1 committed rows
+        # per outer round, plus inner_rounds*tree_size scratch rows inside
+        # the program — the shared loop's capacity guard only covers the
+        # OUTER cache, so gate segments on inner headroom here
+        seg = max(1, getattr(self.eng, "spec_segment_size", 1))
+        need = (
+            (seg + self._inflight_rounds()) * (self.max_chain + 1)
+            + self.inner_rounds * self.inner.ecfg.tree_size + 8
+        )
+        return self.inner.host_len + need <= self.inner.cache.max_length
+
+    def _dispatch_rounds(self, root, k: int):
+        """Dispatch one fused K-outer-round segment WITHOUT fetching results
+        (pipelined segments: the packed-readback tunnel RTT overlaps segment
+        N+1's device execution — see SpecEngine._dispatch_rounds)."""
+        import dataclasses as _dc
+
+        ints, self.cache, self.inner.cache, ekv, root_out, self.key = (
+            hier_segment(
+                self.cfg, self.inner.cfg, self.inner.ecfg,
+                self.params, self.rope, self.cache,
+                self.inner.params, self.inner.eparams, self.inner.rope,
+                self.inner.cache, self.inner.estate.kv,
+                jnp.asarray(root, jnp.int32), self.key,
+                k=k,
+                inner_rounds=self.inner_rounds,
+                max_chain=self.max_chain,
+                temperature=self.eng.temperature,
+                top_k=self.eng.top_k,
+                top_p=self.eng.top_p,
+                attn_impl=self.attn_impl,
+                sparse_select=self.sparse_engaged(),
+            )
+        )
+        self.inner.estate = _dc.replace(self.inner.estate, kv=ekv)
+        self._root_dev = root_out
+        return ints, k
+
+    def _consume_rounds(self, handle):
+        ints, k = handle
+        ints = np.asarray(ints)  # (k, max_chain+1 + inner_rounds + 1)
+        rounds = []
+        for r in range(k):
+            emitted = ints[r, : self.max_chain + 1]
+            alens = ints[r, self.max_chain + 1 : -1]
+            n = int(ints[r, -1])
+            self.inner_accept_lengths.extend(int(a) for a in alens)
+            self.host_len += n
+            self.inner.host_len += n
+            rounds.append((emitted[:n].tolist(), n))
+        return rounds
+
+    def _inflight_rounds(self) -> int:
+        return getattr(self, "_inflight", 0)
+
+    def _spec_rounds(self, draft0: int, k: int):
+        """K fused outer rounds, ONE blocking host sync (hier_segment)."""
+        return self._consume_rounds(self._dispatch_rounds(draft0, k))
+
     # streaming loop shared with SpecEngine
     _generate_stream = SpecEngine._generate_stream
     mean_accept_length = SpecEngine.mean_accept_length
@@ -396,3 +528,4 @@ class HierSpecEngine(Engine):
         self.accept_lengths = []
         self.inner_accept_lengths = []
         self._fresh = True
+        self._inflight = 0
