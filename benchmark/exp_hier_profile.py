@@ -60,7 +60,11 @@ def main():
         "inner_accept": round(engine.mean_inner_accept_length(), 3),
     }), flush=True)
 
-    # trace 8 fused outer rounds (warm)
+    # trace 8 fused outer rounds (warm). generate() leaves the inner
+    # drafter cache skewed ahead after its overshoot rollback (ADVICE r2) —
+    # re-establish a clean state first.
+    engine.reset()
+    toks, _, _ = engine.generate(ids, generation_length=2)
     tdir = "/tmp/jaxtrace_hier"
     t0 = time.time()
     with jax.profiler.trace(tdir):
@@ -68,7 +72,7 @@ def main():
         for _ in range(8):
             emitted, n = engine._spec_round(int(tok))
             tok = emitted[-1]
-        np.asarray(0)  # flush
+        np.asarray(engine.cache.length)  # real device sync
     dt = time.time() - t0
     print(json.dumps({"rounds8_wall_ms": round(dt * 1e3, 1)}), flush=True)
     top_ops(tdir, n=28)

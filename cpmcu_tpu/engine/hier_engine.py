@@ -495,6 +495,14 @@ class HierSpecEngine(Engine):
     def _consume_rounds(self, handle):
         ints, k = handle
         ints = np.asarray(ints)  # (k, max_chain+1 + inner_rounds + 1)
+        # hier_segment discards per-round path logits — invalidate rather
+        # than leave a stale earlier round around (ADVICE r2). NOTE on the
+        # shared emit() overshoot rollback: it restores only the OUTER
+        # cache/host_len; the inner drafter cache/host_len stay ahead for
+        # discarded rounds. That is safe because reset()+prefill is
+        # mandatory between generates — do NOT call _spec_round(s) on a
+        # just-finished engine without reset() (timing scripts included).
+        self.last_path_logits = None
         rounds = []
         for r in range(k):
             emitted = ints[r, : self.max_chain + 1]

@@ -437,6 +437,9 @@ class SpecEngine(Engine):
         """Fetch a dispatched segment's packed results; returns rounds."""
         packed, k = handle
         packed = np.asarray(packed)
+        # segments discard per-round path logits — invalidate rather than
+        # leave a stale earlier round for logits-parity consumers (ADVICE r2)
+        self.last_path_logits = None
         emitted, alens = packed[:, :-1], packed[:, -1]
         rounds = []
         for r in range(k):

@@ -169,3 +169,40 @@ def test_hier_rotation_variant_lossless(setup):
     loaded = load_eagle_params(tensors, cfg, ecfg)
     np.testing.assert_allclose(np.asarray(loaded["rotation"]["w"]), rot.T,
                                rtol=1e-6, atol=1e-6)
+
+
+def test_hier_pipelined_segments_match_plain(setup):
+    """ADVICE r2: the two-inflight pipelined segment path (segment N+1
+    dispatched off the device-chained root before N's readback) was only
+    covered by the TPU bench — the default test capacity always forced a
+    drain between dispatches. Size the cache so two segments are inflight
+    at once and assert greedy parity with the plain engine, plus that the
+    dispatch->dispatch adjacency actually happened."""
+    cfg, params, draft_cfg, dparams, ecfg, eparams = setup
+    eng = EngineConfig(chunk_length=8, max_total_length=1024,
+                       spec_segment_size=2)
+
+    plain = Engine(cfg, eng, params, attn_impl="xla")
+    want, _, _ = plain.generate([1, 2, 3, 4, 5], generation_length=30)
+
+    hier = HierSpecEngine(
+        cfg, draft_cfg, ecfg, eng, params, dparams, eparams,
+        attn_impl="xla", min_draft_length=4,
+    )
+    events = []
+    orig_dispatch = hier._dispatch_rounds
+    orig_consume = hier._consume_rounds
+
+    def dispatch(root, k):
+        events.append("d")
+        return orig_dispatch(root, k)
+
+    def consume(handle):
+        events.append("c")
+        return orig_consume(handle)
+
+    hier._dispatch_rounds = dispatch
+    hier._consume_rounds = consume
+    got, _, _ = hier.generate([1, 2, 3, 4, 5], generation_length=30)
+    assert got == want
+    assert "dd" in "".join(events), f"pipeline never engaged: {events}"
