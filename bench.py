@@ -22,9 +22,18 @@ BASELINE_DECODE = 154.59  # reference decode tok/s (BASELINE.md)
 BASELINE_PREFILL = 6530.77  # reference prefill tok/s (BASELINE.md)
 
 
+REALISTIC = False  # --realistic: correlated synthetic checkpoint (smooth
+# attention -> non-saturated sparse unions; distillable drafter) instead of
+# i.i.d. random weights. See cpmcu_tpu/models/realistic.py.
+
+
 def make_params(cfg, key):
     from cpmcu_tpu.models import llama
 
+    if REALISTIC:
+        from cpmcu_tpu.models.realistic import init_params_realistic
+
+        return init_params_realistic(cfg, seed=0)
     if cfg.quant:
         from cpmcu_tpu.models.quantize import init_params_quant
 
@@ -32,7 +41,15 @@ def make_params(cfg, key):
     return llama.init_params(cfg, key)
 
 
-def bench_decode(cfg, eng, steps=64, warmup=8, prompt_len=128):
+def bench_decode(cfg, eng, steps=64, warmup=8, prompt_len=128, reps=5,
+                 prefill_reps=3):
+    """Dense/sparse decode + prefill throughput.
+
+    Decode: ``reps`` timed repetitions of a ``steps``-token loop, MEDIAN
+    reported (run-to-run spread on the tunneled chip is ~±2%, which
+    straddled the baseline when one rep decided the official number —
+    VERDICT r2 weak #1). Prefill: median of ``prefill_reps`` full prefills
+    (one-shot prefill timings carry ±50% tunnel-RTT jitter, weak #6)."""
     import jax
     import jax.numpy as jnp
 
@@ -45,86 +62,59 @@ def bench_decode(cfg, eng, steps=64, warmup=8, prompt_len=128):
     ids = rng.integers(0, cfg.vocab_size, size=prompt_len).tolist()
 
     engine.prefill(ids)  # includes compile
-    engine.reset()
-    t0 = time.time()
-    engine.prefill(ids)
-    prefill_time = time.time() - t0
+    prefill_times = []
+    for _ in range(max(1, prefill_reps)):
+        engine.reset()
+        t0 = time.time()
+        engine.prefill(ids)
+        prefill_times.append(time.time() - t0)
 
     seg = engine.eng.decode_segment_size
     sparse = engine.sparse_engaged()
+    # all reps decode forward from the prefill; capacity for the whole run
+    total = prompt_len + warmup + (reps + 1) * steps + 8
+
+    state = {"tok": jnp.asarray(1, jnp.int32),
+             "pos": jnp.asarray(prompt_len, jnp.int32)}
 
     def run_segments(n):
-        tok = jnp.asarray(1, jnp.int32)
-        pos = jnp.asarray(prompt_len, jnp.int32)
         done = 0
         while done < n:
             engine.cache, toks, engine.key = decode_segment(
-                cfg, engine.params, engine.rope, engine.cache, tok, pos, engine.key,
+                cfg, engine.params, engine.rope, engine.cache,
+                state["tok"], state["pos"], engine.key,
                 k=seg, temperature=0.0, top_k=0, top_p=1.0,
                 attn_impl=engine.attn_impl, sparse_select=sparse,
-                kv_span=engine.kv_bucket(prompt_len + n + steps + 8),
-                unroll=engine.unroll_layers(1, prompt_len + n + steps + 8),
+                kv_span=engine.kv_bucket(total),
+                unroll=engine.unroll_layers(1, total),
             )
-            tok = toks[-1]
-            pos = pos + seg
+            state["tok"] = toks[-1]
+            state["pos"] = state["pos"] + seg
             done += seg
         np.asarray(toks)  # real sync (tunnel block_until_ready lies)
+        return done
 
     run_segments(warmup)  # compile
-    t0 = time.time()
-    run_segments(steps)
-    decode_time = time.time() - t0
-    steps_done = ((steps + seg - 1) // seg) * seg
+    rates = []
+    for _ in range(max(1, reps)):
+        t0 = time.time()
+        n = run_segments(steps)
+        rates.append(n / (time.time() - t0))
     return {
-        "decode_tok_s": steps_done / decode_time,
-        "prefill_tok_s": prompt_len / prefill_time,
+        "decode_tok_s": float(np.median(rates)),
+        "decode_spread": (round(min(rates), 2), round(max(rates), 2)),
+        "prefill_tok_s": prompt_len / float(np.median(prefill_times)),
+        "prefill_spread": tuple(
+            round(prompt_len / t, 1) for t in sorted(prefill_times)[::-1]
+        ),
     }
 
 
 def _oracle_spec_pair(cfg, ecfg):
-    """Base + EAGLE drafter whose greedy chains ALWAYS verify (the
-    tests/test_spec.py bigram-oracle fixture at benchmark scale): base
-    layers dequantize to exactly zero (nibble 8 == value 0), so logits are
-    a deterministic bigram map of the current token; the drafter (fc1=I,
-    zero layers, shared lm_head) reproduces the base argmax at every depth.
-    HBM traffic and compute are IDENTICAL to the random-weight config —
-    zero packs stream the same bytes — so the measured tok/s is the real
-    best-case endpoint (accept == num_iter+1 every round). Together with
-    the random-weight run (accept == 1) it brackets any real checkpoint's
-    accept rate (reference: ~2.5, BASELINE.md)."""
-    import jax
-    import jax.numpy as jnp
+    """Best-case accept endpoint fixture (see cpmcu_tpu.spec.oracle)."""
+    from cpmcu_tpu.spec.oracle import oracle_spec_pair
 
-    from cpmcu_tpu.models.quantize import init_params_quant
-    from cpmcu_tpu.spec.eagle import init_eagle_params
-
-    H, V = cfg.hidden_size, cfg.vocab_size
-    zero_word = np.int32(np.uint32(0x88888888).astype(np.int64) - (1 << 32))
-
-    def zero_layers(layers):
-        return {
-            k: ({**v, "q": jnp.full_like(v["q"], zero_word)}
-                if isinstance(v, dict) and "q" in v else v)
-            for k, v in layers.items()
-        }
-
-    params = init_params_quant(cfg, jax.random.PRNGKey(0))
-    params["layers"] = zero_layers(params["layers"])
-    eparams = init_eagle_params(ecfg, jax.random.PRNGKey(1))
-    if "q" in eparams["layers"].get("wq", {}):
-        eparams["layers"] = zero_layers(eparams["layers"])
-    else:
-        eparams["layers"] = jax.tree.map(
-            lambda x: jnp.zeros_like(x), eparams["layers"]
-        )
-    eparams["fc1"] = {"w": jnp.eye(H, dtype=cfg.jnp_dtype),
-                      "b": jnp.zeros((H,), cfg.jnp_dtype)}
-    eparams["fc2"] = {"w": jnp.zeros((H, H), cfg.jnp_dtype)}
-    # no FR head: draft_logits falls back to the base lm_head, which makes
-    # the drafter argmax-identical to the base by construction
-    eparams.pop("lm_head", None)
-    eparams.pop("token_id_remap", None)
-    return params, eparams
+    return oracle_spec_pair(cfg, ecfg)
 
 
 def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2",
@@ -203,6 +193,29 @@ def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2",
         )
         if oracle_accept:
             params, eparams = _oracle_spec_pair(cfg, ecfg)
+            engine = SpecEngine(cfg, ecfg, eng, params, eparams)
+            rng = np.random.default_rng(0)
+            ids = rng.integers(0, cfg.vocab_size, size=prompt_len).tolist()
+            engine.generate(ids, generation_length=8)  # warmup/compile
+            engine.reset()
+            toks, decode_time, prefill_time = engine.generate(
+                ids, generation_length=steps
+            )
+            n = len(toks)
+            return {
+                "decode_tok_s": (n - 1) / max(decode_time, 1e-9),
+                "prefill_tok_s": prompt_len / max(prefill_time, 1e-9),
+                "mean_accept": engine.mean_accept_length(),
+            }
+        if REALISTIC:
+            # drafter distilled from the correlated synthetic base: accept
+            # emerges from actual base/drafter argmax agreement (~2.4 at
+            # the default drafter_noise) instead of an oracle construction
+            from cpmcu_tpu.models.realistic import (
+                init_eagle_params_realistic,
+            )
+
+            eparams = init_eagle_params_realistic(ecfg, cfg, seed=0)
             engine = SpecEngine(cfg, ecfg, eng, params, eparams)
             rng = np.random.default_rng(0)
             ids = rng.integers(0, cfg.vocab_size, size=prompt_len).tolist()
@@ -416,6 +429,10 @@ def main():
     ap.add_argument("--oracle-accept", action="store_true",
                     help="oracle drafter: accept == num_iter+1 every round "
                     "(best-case endpoint; eagle2 only)")
+    ap.add_argument("--realistic", action="store_true",
+                    help="correlated synthetic checkpoint (smooth attention "
+                    "-> non-saturated sparse unions; distilled drafter with "
+                    "accept ~2.4) instead of i.i.d. random weights")
     ap.add_argument("--spec-type", default="eagle2",
                     choices=["eagle2", "chain", "eagle3", "hier"])
     ap.add_argument("--sparse", action="store_true", help="InfLLM-v2 long context")
@@ -438,11 +455,15 @@ def main():
         cfg = dataclasses.replace(cfg, quant=True,
                                   quant_lmhead=args.quant_lmhead)
     # round UP to the cache's 512 granularity (SparseKVCache.create rounds
-    # DOWN, which would swallow the generation slack at exact-page prompts)
-    per_seq = max(2048, args.prompt_len + args.steps + 256)
+    # DOWN, which would swallow the generation slack at exact-page prompts).
+    # 6*steps: bench_decode runs warmup + 5 timed reps forward (median)
+    per_seq = max(2048, args.prompt_len + 6 * args.steps + 512)
     per_seq = (per_seq + 511) // 512 * 512
     if args.oracle_union:
         cfg = dataclasses.replace(cfg, sparse_oracle_union=True)
+    if args.realistic:
+        global REALISTIC
+        REALISTIC = True
     if args.v3_extract:
         from cpmcu_tpu.ops import quant as _q
 
@@ -524,7 +545,12 @@ def main():
         else:
             r = bench_decode(cfg, eng, steps=args.steps, prompt_len=args.prompt_len)
             mode = "dense"
+        if args.realistic:
+            mode += "-real"
         extra["prefill_tok_s"] = round(r["prefill_tok_s"], 2)
+        for k2 in ("decode_spread", "prefill_spread"):
+            if k2 in r:
+                extra[k2] = r[k2]
         print(
             json.dumps(
                 {

@@ -73,10 +73,21 @@ def build_engine(args):
         from ..models.quantize import init_params_quant
         from ..spec.eagle import EagleConfig, init_eagle_params
 
-        params = init_params_quant(cfg, jax.random.PRNGKey(0))
         # W4A16 drafter layers (reference headline eagle.w4a16_gm)
         draft_cfg = dataclasses.replace(cfg, num_layers=1,
                                         quant_lmhead=False)
+        if args.oracle_accept:
+            # oracle drafter: accept == num_iter+1 flows through the whole
+            # accept-length bookkeeping (random drafters sit at ~1)
+            from ..spec.oracle import oracle_spec_pair
+
+            ecfg = EagleConfig(model=draft_cfg, num_iter=2,
+                               topk_per_iter=10, tree_size=12, window=1024,
+                               use_input_norm=False, use_attn_norm=True,
+                               frspec_vocab_size=0)
+            params, eparams = oracle_spec_pair(cfg, ecfg)
+            return SpecEngine(cfg, ecfg, eng, params, eparams)
+        params = init_params_quant(cfg, jax.random.PRNGKey(0))
         ecfg = EagleConfig(model=draft_cfg, num_iter=2, topk_per_iter=10,
                            tree_size=12, window=1024, use_input_norm=True,
                            use_attn_norm=True, frspec_vocab_size=32768)
@@ -105,6 +116,11 @@ def main():
                     "tokenizer) instead of synthetic weights")
     ap.add_argument("--spec", action="store_true",
                     help="EAGLE-2+FR-Spec engine (records accept lengths)")
+    ap.add_argument("--oracle-accept", action="store_true",
+                    help="with --spec: oracle drafter (accept == "
+                    "num_iter+1 every round; best-case endpoint)")
+    ap.add_argument("--no-warmup", dest="warmup", action="store_false",
+                    default=True, help="skip the untimed warmup turn")
     ap.add_argument("--num-samples", type=int, default=8)
     ap.add_argument("--generation-length", type=int, default=64)
     ap.add_argument("--max-prompt-tokens", type=int, default=1024)
@@ -145,6 +161,7 @@ def main():
             engine, tokenizer, questions,
             generation_length=args.generation_length,
             num_samples=args.num_samples,
+            warmup=args.warmup,
         )
         paths.append(save_results(results, args.output_dir, ds, model_name))
 
