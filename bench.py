@@ -22,6 +22,9 @@ BASELINE_DECODE = 154.59  # reference decode tok/s (BASELINE.md)
 BASELINE_PREFILL = 6530.77  # reference prefill tok/s (BASELINE.md)
 
 
+HIER_DRAFT = "quant"  # hier draft-model weights: "quant" (reference
+# pairing) | "bf16" (fewer tiny-kernel dispatches; bench --hier-draft)
+
 REALISTIC = False  # --realistic: correlated synthetic checkpoint (smooth
 # attention -> non-saturated sparse unions; distillable drafter) instead of
 # i.i.d. random weights. See cpmcu_tpu/models/realistic.py.
@@ -160,11 +163,15 @@ def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2",
         # hier: EAGLE drafts for a small dense draft model which chains for
         # the quantized base (the reference's 0.5B-draft + 8B-base pairing)
         # reference hier headline = hier_ea_w4a16_gm_spec_w4a16_gm: BOTH the
-        # chain draft model and its eagle drafter are W4A16
+        # chain draft model and its eagle drafter are W4A16. On TPU the
+        # tiny draft-model quant matmuls are dispatch-overhead-bound, so
+        # HIER_DRAFT="bf16" A/Bs dense XLA dots for the drafters (2x the
+        # draft HBM bytes, far fewer Pallas dispatches).
         draft_cfg = dataclasses.replace(
             cfg, num_layers=max(2, cfg.num_layers // 8),
             hidden_size=1024, intermediate_size=4096, num_heads=16,
             head_dim=64, quant_lmhead=False,
+            quant=cfg.quant and HIER_DRAFT == "quant",
         )
         dparams = make_params(draft_cfg, jax.random.PRNGKey(1))
         ecfg = EagleConfig(
@@ -310,7 +317,8 @@ def _engine_turn(engine, ids, n=8):
     return toks, decode_t, prefill_t
 
 
-def bench_batch(cfg, eng, steps=64, prompt_len=128, batch=8, spec=False):
+def bench_batch(cfg, eng, steps=64, prompt_len=128, batch=8, spec=False,
+                oracle_accept=False):
     """Continuous batching aggregate throughput (no reference counterpart).
 
     Prefill (sequential per-slot admission) and lockstep decode are timed
@@ -342,15 +350,33 @@ def bench_batch(cfg, eng, steps=64, prompt_len=128, batch=8, spec=False):
 
         draft_cfg = dataclasses.replace(cfg, num_layers=1,
                                         quant_lmhead=False)
-        ecfg = EagleConfig(model=draft_cfg, num_iter=2, topk_per_iter=10,
-                           tree_size=12, window=0, use_input_norm=True,
-                           use_attn_norm=True, frspec_vocab_size=32768)
-        eparams = init_eagle_params(ecfg, jax.random.PRNGKey(1))
-        H = cfg.hidden_size
-        eparams["lm_head"] = {"w": (jax.random.normal(
-            jax.random.PRNGKey(2), (H, 32768), jnp.float32
-        ) * 0.02).astype(cfg.jnp_dtype)}
-        eparams["token_id_remap"] = jnp.arange(32768, dtype=jnp.int32)
+        if oracle_accept:
+            # accept == num_iter+1 endpoint for BATCHED speculation (the
+            # VERDICT r2 weak-#7 row: where batched spec should beat plain
+            # batching; the random drafter below measures only overhead)
+            ecfg = EagleConfig(model=draft_cfg, num_iter=2, topk_per_iter=10,
+                               tree_size=12, window=0, use_input_norm=False,
+                               use_attn_norm=True, frspec_vocab_size=0)
+            params, eparams = _oracle_spec_pair(cfg, ecfg)
+        elif REALISTIC:
+            from cpmcu_tpu.models.realistic import (
+                init_eagle_params_realistic,
+            )
+
+            ecfg = EagleConfig(model=draft_cfg, num_iter=2, topk_per_iter=10,
+                               tree_size=12, window=0, use_input_norm=True,
+                               use_attn_norm=True, frspec_vocab_size=32768)
+            eparams = init_eagle_params_realistic(ecfg, cfg, seed=0)
+        else:
+            ecfg = EagleConfig(model=draft_cfg, num_iter=2, topk_per_iter=10,
+                               tree_size=12, window=0, use_input_norm=True,
+                               use_attn_norm=True, frspec_vocab_size=32768)
+            eparams = init_eagle_params(ecfg, jax.random.PRNGKey(1))
+            H = cfg.hidden_size
+            eparams["lm_head"] = {"w": (jax.random.normal(
+                jax.random.PRNGKey(2), (H, 32768), jnp.float32
+            ) * 0.02).astype(cfg.jnp_dtype)}
+            eparams["token_id_remap"] = jnp.arange(32768, dtype=jnp.int32)
         be = BatchSpecEngine(cfg, ecfg, eng, params, eparams,
                              max_batch=batch)
     else:
@@ -374,11 +400,14 @@ def bench_batch(cfg, eng, steps=64, prompt_len=128, batch=8, spec=False):
     # pipelined segment drain (segment N+1 dispatched before N's readback)
     n = sum(len(v) for v in be.run().values())
     dt = time.time() - t0
-    return {
+    out = {
         "decode_tok_s": n / dt,
         "prefill_tok_s": batch * prompt_len / max(prefill_dt, 1e-9),
         "batch": batch,
     }
+    if hasattr(be, "mean_accept_length"):
+        out["mean_accept"] = be.mean_accept_length()
+    return out
 
 
 def main():
@@ -429,6 +458,10 @@ def main():
     ap.add_argument("--oracle-accept", action="store_true",
                     help="oracle drafter: accept == num_iter+1 every round "
                     "(best-case endpoint; eagle2 only)")
+    ap.add_argument("--hier-draft", default="quant",
+                    choices=["quant", "bf16"],
+                    help="hier spec draft-model weight dtype (A/B: tiny "
+                    "quant matmuls are dispatch-bound on TPU)")
     ap.add_argument("--realistic", action="store_true",
                     help="correlated synthetic checkpoint (smooth attention "
                     "-> non-saturated sparse unions; distilled drafter with "
@@ -464,6 +497,8 @@ def main():
     if args.realistic:
         global REALISTIC
         REALISTIC = True
+    global HIER_DRAFT
+    HIER_DRAFT = args.hier_draft
     if args.v3_extract:
         from cpmcu_tpu.ops import quant as _q
 
@@ -510,10 +545,14 @@ def main():
                     "sparse batched speculation is chain-only")
             spec = args.spec_type if args.spec else False
             r = bench_batch(cfg, eng, steps=args.steps, prompt_len=args.prompt_len,
-                            batch=args.batch, spec=spec)
+                            batch=args.batch, spec=spec,
+                            oracle_accept=args.oracle_accept)
+            if "mean_accept" in r:
+                extra["mean_accept_length"] = round(r["mean_accept"], 3)
             mode = f"batch{args.batch}" + (
                 f"-sparse-{args.prompt_len}ctx" if args.sparse else "") + (
-                f"-{args.spec_type}-spec" if args.spec else "")
+                f"-{args.spec_type}-spec" if args.spec else "") + (
+                "-oracle" if args.oracle_accept else "")
         elif args.sparse and args.spec:
             # the reference headline configuration: W4A16 + InfLLM-v2 +
             # EAGLE/FR-Spec at long context (README.md:93-105)
