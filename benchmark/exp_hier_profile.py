@@ -60,21 +60,23 @@ def main():
         "inner_accept": round(engine.mean_inner_accept_length(), 3),
     }), flush=True)
 
-    # trace 8 fused outer rounds (warm). generate() leaves the inner
-    # drafter cache skewed ahead after its overshoot rollback (ADVICE r2) —
-    # re-establish a clean state first.
+    # trace one WARM fused segment (the path the bench actually runs —
+    # hier_segment is already compiled by generate(); the per-round host
+    # path would compile inside the trace and drown the data). generate()
+    # leaves the inner drafter cache skewed ahead after its overshoot
+    # rollback (ADVICE r2) — re-establish a clean state first.
     engine.reset()
     toks, _, _ = engine.generate(ids, generation_length=2)
+    seg = max(1, getattr(eng, "spec_segment_size", 1))
     tdir = "/tmp/jaxtrace_hier"
     t0 = time.time()
     with jax.profiler.trace(tdir):
-        tok = toks[-1]
-        for _ in range(8):
-            emitted, n = engine._spec_round(int(tok))
-            tok = emitted[-1]
+        rounds = engine._spec_rounds(int(toks[-1]), seg)
         np.asarray(engine.cache.length)  # real device sync
     dt = time.time() - t0
-    print(json.dumps({"rounds8_wall_ms": round(dt * 1e3, 1)}), flush=True)
+    print(json.dumps({"seg_rounds": seg,
+                      "seg_wall_ms": round(dt * 1e3, 1),
+                      "ms_per_round": round(dt * 1e3 / seg, 2)}), flush=True)
     top_ops(tdir, n=28)
 
 

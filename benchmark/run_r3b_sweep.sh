@@ -46,6 +46,28 @@ run hier_bf16_draft python bench.py --spec --spec-type hier --hier-draft bf16 --
 # VERDICT task 7: batched speculation where it should win
 run batch8_eagle_oracle python bench.py --batch 8 --spec --oracle-accept --steps 64
 run batch8_plain python bench.py --batch 8 --steps 64
+# realistic full stack at 32K + W4 draft-head A/B
+run sparse32k_spec_realistic python bench.py --realistic --sparse --spec --prompt-len 32768 --steps 128
+run spec_realistic_qdh python bench.py --realistic --spec --quant-draft-head --steps 128
+# re-profiles after the tree/chain M-pad fix
+exp() {
+  local name="$1"; shift
+  if [ -n "${SWEEP_DEADLINE:-}" ] && \
+     [ $(date +%s) -gt $((SWEEP_DEADLINE - 1500)) ]; then
+    echo "{\"mode\": \"$name\", \"result\": \"skipped_deadline\"}" >> "$OUT"
+    return
+  fi
+  echo "=== $name: $* ($(date +%H:%M:%S))" >&2
+  local log="benchmark/results/r3b_${name}.log"
+  if timeout 1800 "$@" > "$log" 2>&1; then
+    echo "{\"mode\": \"$name\", \"result\": \"ok\", \"log\": \"$log\"}" >> "$OUT"
+  else
+    echo "{\"mode\": \"$name\", \"result\": null, \"log\": \"$log\"}" >> "$OUT"
+  fi
+}
+exp hier_profile2 python benchmark/exp_hier_profile.py
+run sparse32k_spec python bench.py --sparse --spec --prompt-len 32768 --steps 128
+run spec_eagle2 python bench.py --spec --steps 128
 # VERDICT task 6: steady-state dataset artifacts (warmup + oracle accept)
 dataset eval_specbench_oracle python -m cpmcu_tpu.tools.run_dataset_eval \
   --dataset specbench --num-samples 8 --generation-length 64 --spec --oracle-accept

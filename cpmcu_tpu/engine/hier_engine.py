@@ -118,11 +118,26 @@ def hier_outer_verify(
     orig = cache.length
     S = max_chain + 1
     positions = orig + jnp.arange(S, dtype=jnp.int32)
+    # pad the chain decode to the quant kernel's M granularity once (the
+    # per-call x pads otherwise repeat ~129x/round; see
+    # spec_engine._expand_and_verify). Dummy rows sit at the root position
+    # (causal history only) and are sliced off before verify.
+    Sp = -(-S // 8) * 8
+    if Sp != S:
+        chain_f = jnp.pad(chain_tokens, (0, Sp - S))
+        pos_f = jnp.pad(positions, (0, Sp - S), constant_values=0
+                        ).at[S:].set(orig)
+    else:
+        chain_f, pos_f = chain_tokens, positions
     logits, cache, (k_pend, v_pend) = llama.forward(
-        base_cfg, params, rope, cache, chain_tokens, positions,
+        base_cfg, params, rope, cache, chain_f, pos_f,
         logits_mode="all", attn_impl=attn_impl, sparse_select=sparse_select,
         unroll=True, defer_kv_write=True,
     )
+    if Sp != S:
+        logits = logits[:S]
+        k_pend = k_pend[:, :, :S]
+        v_pend = v_pend[:, :, :S]
     if temperature == 0.0:
         gt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     else:
@@ -447,7 +462,9 @@ class HierSpecEngine(Engine):
         return toks, n
 
     def _round_rows(self) -> int:
-        return self.max_chain + 1
+        # chain verify pads to the quant kernel's M granularity (deferred
+        # writes commit only accepted rows, but keep the guard conservative)
+        return -(-(self.max_chain + 1) // 8) * 8
 
     # -- fused outer-round segments (hier_segment) ---------------------------
 

@@ -51,23 +51,50 @@ def _expand_and_verify(
     )
     tree_tokens = tree_tokens.at[0].set(jnp.asarray(draft0, jnp.int32))
 
+    # pad the tree decode to the quant kernel's M granularity ONCE: at the
+    # default tree_size 12 every one of the ~129 quant matmuls otherwise
+    # pads its x operand 12->16 itself (129 pad ops + boundary copies,
+    # ~0.5 ms/round in the round-3 trace). Dummy rows attend only
+    # themselves (plus causal history) and are discarded before verify.
+    S = ecfg.tree_size
+    Sp = -(-S // 8) * 8
+    if Sp != S:
+        pad = Sp - S
+        tree_tokens_f = jnp.pad(tree_tokens, (0, pad))
+        tree_pos_f = jnp.pad(tree_pos, (0, pad),
+                             constant_values=0) .at[S:].set(tree_pos[0])
+        eye_pad = jnp.zeros((Sp, Sp), jnp.bool_).at[
+            jnp.arange(S, Sp), jnp.arange(S, Sp)].set(True)
+        tree_mask_f = jnp.pad(tree_mask, ((0, pad), (0, pad))) | eye_pad
+    else:
+        tree_tokens_f, tree_pos_f, tree_mask_f = (
+            tree_tokens, tree_pos, tree_mask)
+
     if unroll:
         # deferred tree-KV write: verify first, then ONE permuted in-place
         # write of the accepted rows (cache.kv.commit_tree_rows) — the
         # write-then-compact sequence forced a whole-cache carry copy in
         # fused segments (round-2 profiling)
         logits, cache, normed, (k_pend, v_pend) = llama.forward(
-            base_cfg, params, rope, cache, tree_tokens, tree_pos, tree_mask,
-            logits_mode="all", attn_impl=attn_impl,
+            base_cfg, params, rope, cache, tree_tokens_f, tree_pos_f,
+            tree_mask_f, logits_mode="all", attn_impl=attn_impl,
             sparse_select=sparse_select, return_hidden=True, kv_span=kv_span,
             unroll=True, defer_kv_write=True,
         )
+        if Sp != S:
+            logits = logits[:S]
+            normed = normed[:S]
+            k_pend = k_pend[:, :, :S]
+            v_pend = v_pend[:, :, :S]
     else:
         logits, cache, normed = llama.forward(
-            base_cfg, params, rope, cache, tree_tokens, tree_pos, tree_mask,
-            logits_mode="all", attn_impl=attn_impl,
+            base_cfg, params, rope, cache, tree_tokens_f, tree_pos_f,
+            tree_mask_f, logits_mode="all", attn_impl=attn_impl,
             sparse_select=sparse_select, return_hidden=True, kv_span=kv_span,
         )
+        if Sp != S:
+            logits = logits[:S]
+            normed = normed[:S]
     if temperature == 0.0:
         gt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     else:
@@ -395,8 +422,10 @@ class SpecEngine(Engine):
 
     def _round_rows(self) -> int:
         """KV rows one spec round may write at the cache tail (capacity
-        guard in _generate_stream)."""
-        return self.ecfg.tree_size
+        guard in _generate_stream). The tree decode pads to the quant
+        kernel's M granularity, and the non-deferred (xla) path writes the
+        padded rows — count them."""
+        return -(-self.ecfg.tree_size // 8) * 8
 
     def _dispatch_rounds(self, root, k: int):
         """Dispatch one fused K-round segment WITHOUT fetching results.

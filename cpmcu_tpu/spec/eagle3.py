@@ -199,7 +199,8 @@ def eagle3_draft(
     H = m.hidden_size
 
     lp0 = _draft_logits(ep, h_root[None])[0]
-    val0, tok0 = jax.lax.top_k(lp0, K)  # draft-vocab ids
+    from .eagle import topk_wide
+    val0, tok0 = topk_wide(lp0, K)  # draft-vocab ids
 
     tried_val = jnp.full((TT,), -jnp.inf, jnp.float32).at[:K].set(val0)
     tried_tok = jnp.zeros((TT,), jnp.int32).at[:K].set(tok0)
@@ -225,7 +226,7 @@ def eagle3_draft(
             tree_mask=emask[:, : K * d], attn_impl=attn_impl,
         )
         lp = _draft_logits(ep, h)  # (K, Vd)
-        val, tok = jax.lax.top_k(lp, K)
+        val, tok = topk_wide(lp, K)
         joint = (val + frontier_val[:, None]).reshape(-1)
         toks_flat = tok.reshape(-1)
 

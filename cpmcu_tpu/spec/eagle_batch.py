@@ -191,7 +191,8 @@ def eagle_batch_draft(
     Ld = ep["layers"]["attn_norm"].shape[0]
 
     lp0 = draft_logits(ecfg, ep, base_params, base_cfg, h_root)  # (B, Vfr)
-    val0, tok0 = jax.lax.top_k(lp0, K)  # (B, K)
+    from .eagle import topk_wide
+    val0, tok0 = topk_wide(lp0, K)  # (B, K)
 
     tried_val = jnp.full((B, TT), -jnp.inf, jnp.float32).at[:, :K].set(val0)
     tried_tok = jnp.zeros((B, TT), jnp.int32).at[:, :K].set(tok0)
@@ -233,7 +234,7 @@ def eagle_batch_draft(
         lp = draft_logits(
             ecfg, ep, base_params, base_cfg, h.reshape(B * K, H)
         ).reshape(B, K, -1)
-        val, tok = jax.lax.top_k(lp, K)  # (B, K, K)
+        val, tok = topk_wide(lp, K)  # (B, K, K)
         joint = (val + frontier_val[..., None]).reshape(B, K * K)
         toks_flat = tok.reshape(B, K * K)
         off = K + (d - 1) * K * K
