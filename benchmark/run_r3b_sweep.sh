@@ -74,3 +74,7 @@ dataset eval_specbench_oracle python -m cpmcu_tpu.tools.run_dataset_eval \
 dataset eval_gsm8k python -m cpmcu_tpu.tools.run_dataset_eval \
   --dataset gsm8k --num-samples 8 --generation-length 64
 echo "sweep B done: $OUT" >&2
+# drive + warm the driver's exact default invocation (plain bench.py)
+run headline_default python bench.py
+run dense_flag python bench.py --dense
+echo "sweep B+ done" >&2
