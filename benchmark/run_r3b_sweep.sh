@@ -78,3 +78,4 @@ echo "sweep B done: $OUT" >&2
 run headline_default python bench.py
 run dense_flag python bench.py --dense
 echo "sweep B+ done" >&2
+run dense_realistic2 python bench.py --dense --realistic --steps 64
