@@ -33,7 +33,7 @@ REALISTIC = False  # --realistic: correlated synthetic checkpoint (smooth
 def make_params(cfg, key):
     from cpmcu_tpu.models import llama
 
-    if REALISTIC:
+    if REALISTIC or os.environ.get("CPMCU_REALISTIC") == "1":
         from cpmcu_tpu.models.realistic import init_params_realistic
 
         return init_params_realistic(cfg, seed=0)

@@ -79,3 +79,4 @@ run headline_default python bench.py
 run dense_flag python bench.py --dense
 echo "sweep B+ done" >&2
 run dense_realistic2 python bench.py --dense --realistic --steps 64
+exp gsplit_ab_realistic env CPMCU_REALISTIC=1 python benchmark/exp_gsplit_ab.py
