@@ -34,9 +34,15 @@ def make_params(cfg, key):
     from cpmcu_tpu.models import llama
 
     if REALISTIC or os.environ.get("CPMCU_REALISTIC") == "1":
-        from cpmcu_tpu.models.realistic import init_params_realistic
+        from cpmcu_tpu.models.realistic import init_params_realistic_cached
 
-        return init_params_realistic(cfg, seed=0)
+        # disk-cached: ~4 min of numpy generation otherwise eats the
+        # driver's bench timeout (first run generates + saves)
+        return init_params_realistic_cached(
+            cfg, seed=0,
+            cache_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".realistic_cache"),
+        )
     if cfg.quant:
         from cpmcu_tpu.models.quantize import init_params_quant
 

@@ -274,3 +274,76 @@ def init_eagle_params_realistic(
     else:
         p["lm_head"] = {"w": jnp.asarray(head, dt)}
     return p
+
+
+# ---------------------------------------------------------------------------
+# disk cache: the 8B takes ~4 min of numpy generation+quantization — too
+# long inside the driver's bench timeout. Leaves are stored flat (path ->
+# array) with bf16 viewed as uint16 (np.save round-trips ml_dtypes
+# unreliably); cache key = model dims + generator knobs.
+# ---------------------------------------------------------------------------
+
+_CACHE_VERSION = 1
+
+
+def _flatten(prefix, tree, out):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            _flatten(f"{prefix}.{k}" if prefix else k, v, out)
+    else:
+        out[prefix] = tree
+    return out
+
+
+def params_cache_key(cfg, seed, **knobs):
+    import hashlib
+    import json
+
+    desc = dict(v=_CACHE_VERSION, seed=seed, quant=cfg.quant,
+                quant_lmhead=cfg.quant_lmhead, L=cfg.num_layers,
+                H=cfg.hidden_size, I=cfg.intermediate_size,
+                V=cfg.vocab_size, heads=cfg.num_heads, kv=cfg.num_kv_heads,
+                D=cfg.head_dim, dtype=cfg.dtype, **knobs)
+    return hashlib.sha1(json.dumps(desc, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def init_params_realistic_cached(cfg, seed: int = 0, cache_dir: str = "",
+                                 **knobs) -> dict:
+    """init_params_realistic with a flat-npz disk cache (see above)."""
+    import os
+
+    import jax
+
+    if not cache_dir:
+        return init_params_realistic(cfg, seed, **knobs)
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir,
+                        f"real_{params_cache_key(cfg, seed, **knobs)}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        params: dict = {}
+        for key in z.files:
+            arr = z[key]
+            pth, tag = key.rsplit("|", 1)
+            if tag == "bf16":
+                arr = arr.view(jnp.bfloat16.dtype)
+            node = params
+            parts = pth.split(".")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(arr)
+        return params
+
+    params = init_params_realistic(cfg, seed, **knobs)
+    flat = _flatten("", params, {})
+    save = {}
+    for k, v in flat.items():
+        arr = np.asarray(v)
+        if arr.dtype == jnp.bfloat16.dtype:
+            save[f"{k}|bf16"] = arr.view(np.uint16)
+        else:
+            save[f"{k}|raw"] = arr
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **save)
+    os.replace(tmp, path)
+    return params
