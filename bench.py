@@ -22,6 +22,8 @@ BASELINE_DECODE = 154.59  # reference decode tok/s (BASELINE.md)
 BASELINE_PREFILL = 6530.77  # reference prefill tok/s (BASELINE.md)
 
 
+DRAFTER_NOISE = 0.35  # realistic drafter fc1 noise (accept calibration)
+
 HIER_DRAFT = "quant"  # hier draft-model weights: "quant" (reference
 # pairing) | "bf16" (fewer tiny-kernel dispatches; bench --hier-draft)
 
@@ -228,7 +230,8 @@ def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2",
                 init_eagle_params_realistic,
             )
 
-            eparams = init_eagle_params_realistic(ecfg, cfg, seed=0)
+            eparams = init_eagle_params_realistic(
+                ecfg, cfg, seed=0, drafter_noise=DRAFTER_NOISE)
             engine = SpecEngine(cfg, ecfg, eng, params, eparams)
             rng = np.random.default_rng(0)
             ids = rng.integers(0, cfg.vocab_size, size=prompt_len).tolist()
@@ -372,7 +375,8 @@ def bench_batch(cfg, eng, steps=64, prompt_len=128, batch=8, spec=False,
             ecfg = EagleConfig(model=draft_cfg, num_iter=2, topk_per_iter=10,
                                tree_size=12, window=0, use_input_norm=True,
                                use_attn_norm=True, frspec_vocab_size=32768)
-            eparams = init_eagle_params_realistic(ecfg, cfg, seed=0)
+            eparams = init_eagle_params_realistic(
+                ecfg, cfg, seed=0, drafter_noise=DRAFTER_NOISE)
         else:
             ecfg = EagleConfig(model=draft_cfg, num_iter=2, topk_per_iter=10,
                                tree_size=12, window=0, use_input_norm=True,
@@ -472,6 +476,10 @@ def main():
                     choices=["quant", "bf16"],
                     help="hier spec draft-model weight dtype (A/B: tiny "
                     "quant matmuls are dispatch-bound on TPU)")
+    ap.add_argument("--drafter-noise", type=float, default=0.35,
+                    help="realistic drafter fc1 noise: calibrates the "
+                    "measured accept length (reference real-checkpoint "
+                    "accept is 2.5; 0.35 lands ~1.9 on the 8B)")
     ap.add_argument("--realistic", action="store_true",
                     help="correlated synthetic checkpoint (smooth attention "
                     "-> non-saturated sparse unions; distilled drafter with "
@@ -520,6 +528,8 @@ def main():
         REALISTIC = True
     global HIER_DRAFT
     HIER_DRAFT = args.hier_draft
+    global DRAFTER_NOISE
+    DRAFTER_NOISE = args.drafter_noise
     if args.v3_extract:
         from cpmcu_tpu.ops import quant as _q
 
