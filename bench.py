@@ -492,7 +492,9 @@ def main():
                     "per forward, so the per-tile visit union is minimal "
                     "(random weights otherwise saturate it; see PERF.md)")
     ap.add_argument("--batch", type=int, default=0, help="continuous batching slots")
-    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=0,
+                    help="0 = auto: 192 for the no-flag headline default "
+                    "(amortizes spec pipeline fill/drain), else 64")
     # default one full chunk so prefill tok/s is not diluted by padding
     ap.add_argument("--prompt-len", type=int, default=2048)
     ap.add_argument("--max-len", type=int, default=0, help="0 = solve from HBM")
@@ -509,6 +511,10 @@ def main():
             or args.dense):
         args.spec = True
         args.realistic = True
+        if args.steps == 0:
+            args.steps = 192
+    if args.steps == 0:
+        args.steps = 64
 
     from cpmcu_tpu.core.config import MINICPM4_0_5B, MINICPM4_8B, EngineConfig
 
