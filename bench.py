@@ -231,7 +231,8 @@ def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2",
             )
 
             eparams = init_eagle_params_realistic(
-                ecfg, cfg, seed=0, drafter_noise=DRAFTER_NOISE)
+                ecfg, cfg, seed=0, drafter_noise=DRAFTER_NOISE,
+                quant_head=quant_draft_head)
             engine = SpecEngine(cfg, ecfg, eng, params, eparams)
             rng = np.random.default_rng(0)
             ids = rng.integers(0, cfg.vocab_size, size=prompt_len).tolist()

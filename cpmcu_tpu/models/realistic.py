@@ -236,6 +236,9 @@ def init_eagle_params_realistic(
     drafter_noise: float = 0.35,
     fr_vocab: int = 32768,
     scale: float = 0.02,
+    quant_head: bool = False,  # W4 FR head (268 MB bf16 -> 67 MB, read
+    # num_iter x/round; the int4 step only perturbs DRAFT quality —
+    # verification keeps generation lossless)
 ) -> dict:
     """Drafter 'distilled' from the realistic base: fc1 ~ identity on the
     embedding input (+- drafter_noise), small fc2 / decoder layers, and the
@@ -268,11 +271,15 @@ def init_eagle_params_realistic(
 
     head = _head_np(seed, cfg, fr_vocab, scale)
     vfr = ecfg.frspec_vocab_size or 0
-    if vfr:
-        p["lm_head"] = {"w": jnp.asarray(head[:, :vfr], dt)}
-        p["token_id_remap"] = jnp.arange(vfr, dtype=jnp.int32)
+    hw = head[:, :vfr] if vfr else head
+    if quant_head:
+        from ..ops.quant import pack_weights_padded
+
+        p["lm_head"] = pack_weights_padded(hw)
     else:
-        p["lm_head"] = {"w": jnp.asarray(head, dt)}
+        p["lm_head"] = {"w": jnp.asarray(hw, dt)}
+    if vfr:
+        p["token_id_remap"] = jnp.arange(vfr, dtype=jnp.int32)
     return p
 
 
