@@ -39,7 +39,14 @@ from .sparse import BLOCK, NEG_INF
 # ops.quant.TUNE): gs = g-split factor, bt = query tokens/tile (0 = auto),
 # decode_bk = KV rows per decode tile (64 = exactly one selection block,
 # halving scattered-block DMA vs 128; A/B on hardware).
-TUNE = {"prefill_gs": 4, "prefill_bt": 0, "decode_bk": 128}
+TUNE = {"prefill_gs": 1, "prefill_bt": 256, "decode_bk": 128}
+# prefill_gs/bt measured on TPU at 94K ctx, 2048-chunk (VERDICT r2 task 5;
+# benchmark/results/r3a_gsplit_ab.log + r3b_gsplit_ab_realistic.log):
+#   saturated unions:  bt256 1250.9 ms < gs4 1310.0 < gs1-auto 1385.0
+#   realistic unions:  bt256  894.0 ms < bt128 909.4 < gs4 953.6 < 963.1
+# gs1-bt256 (rows = G*256 = 4096 per selection group) wins both regimes —
+# one KV-tile DMA serves 4x more query tokens; the g-split variant stays
+# available behind TUNE for narrow-VMEM shapes.
 
 BK = 512  # KV rows per pipelined tile at prefill (8 selection blocks)
 BK_DECODE = 128  # decode-shaped calls: selected blocks are scattered, so
