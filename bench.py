@@ -139,6 +139,13 @@ def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2",
     from cpmcu_tpu.models import llama
 
     params = make_params(cfg, jax.random.PRNGKey(0))
+    if REALISTIC and spec_type in ("hier", "eagle3"):
+        # no realistic drafter exists for these types yet: a random drafter
+        # on the realistic base pins accept ~1 while the '-real' mode suffix
+        # would suggest a realistic-regime measurement (ADVICE r3)
+        raise ValueError(
+            f"--realistic is not supported with --spec-type {spec_type} "
+            "(no distilled drafter; accept would be ~1 and mislabeled)")
     if spec_type == "chain":
         from cpmcu_tpu.engine.chain_engine import ChainSpecEngine
 

@@ -365,7 +365,19 @@ class HierSpecEngine(Engine):
 
     # -- outer round -------------------------------------------------------------
 
+    def _assert_inner_sync(self):
+        # outer and inner host mirrors advance together at round boundaries;
+        # the shared emit() overshoot rollback restores only the OUTER
+        # cache/host_len, so a violated invariant means a caller ran rounds
+        # on a just-finished engine without reset() — fail loudly instead of
+        # silently corrupting the inner KV (ADVICE r3)
+        assert self.inner.host_len == self.host_len, (
+            f"hier inner/outer length skew ({self.inner.host_len} vs "
+            f"{self.host_len}): call reset() + prefill() before running "
+            "more rounds on a finished engine")
+
     def _spec_round(self, draft0: int):
+        self._assert_inner_sync()
         ecfg = self.inner.ecfg
         dcfg = self.inner.cfg
         # rollback base: the host mirror (inner.host_len) tracks the inner
@@ -486,6 +498,7 @@ class HierSpecEngine(Engine):
         """Dispatch one fused K-outer-round segment WITHOUT fetching results
         (pipelined segments: the packed-readback tunnel RTT overlaps segment
         N+1's device execution — see SpecEngine._dispatch_rounds)."""
+        self._assert_inner_sync()
         import dataclasses as _dc
 
         ints, self.cache, self.inner.cache, ekv, root_out, self.key = (

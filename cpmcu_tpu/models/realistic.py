@@ -304,8 +304,16 @@ def _flatten(prefix, tree, out):
 
 def params_cache_key(cfg, seed, **knobs):
     import hashlib
+    import inspect
     import json
 
+    # resolve the FULL knob set (generator defaults merged under explicit
+    # overrides) so editing a default in init_params_realistic invalidates
+    # the cache without a manual _CACHE_VERSION bump (ADVICE r3)
+    sig = inspect.signature(init_params_realistic)
+    defaults = {n: p.default for n, p in sig.parameters.items()
+                if p.default is not inspect.Parameter.empty}
+    knobs = {**defaults, **knobs}
     desc = dict(v=_CACHE_VERSION, seed=seed, quant=cfg.quant,
                 quant_lmhead=cfg.quant_lmhead, L=cfg.num_layers,
                 H=cfg.hidden_size, I=cfg.intermediate_size,

@@ -201,6 +201,7 @@ def topk_wide(x, k: int, chunk: int = 128):
     V = x.shape[-1]
     if V <= 4 * chunk or k > chunk:
         return jax.lax.top_k(x, k)
+    V0 = V
     if V % chunk:  # pad to a chunk multiple with -inf (never selected)
         pad = chunk - V % chunk
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)],
@@ -213,7 +214,10 @@ def topk_wide(x, k: int, chunk: int = 128):
     cand_v = cv.reshape(x.shape[:-1] + (nc * k,))
     cand_i = (ci + base).reshape(x.shape[:-1] + (nc * k,))
     v, pos = jax.lax.top_k(cand_v, k)
-    return v, jnp.take_along_axis(cand_i, pos, axis=-1)
+    idx = jnp.take_along_axis(cand_i, pos, axis=-1)
+    # a row with fewer than k finite entries could select a -inf pad slot;
+    # clamp so indices are always < the true vocab (ADVICE r3)
+    return v, jnp.minimum(idx, V0 - 1)
 
 
 def draft_logits(ecfg: EagleConfig, ep: dict, base_params: dict, base_cfg: ModelConfig, h):

@@ -346,3 +346,30 @@ def test_oracle_accept_quant_fixture():
     # every full round accepts the whole chain (num_iter+1 == 3)
     assert max(spec.accept_lengths) == ecfg.num_iter + 1
     assert spec.mean_accept_length() > 2.0
+
+
+def test_topk_wide_matches_lax_top_k():
+    """The chunked branch (V > 4*chunk — the path every TPU spec bench
+    takes at V=32768) must match lax.top_k exactly, including ragged
+    V % chunk != 0 and batched shapes (ADVICE r3)."""
+    from cpmcu_tpu.spec.eagle import topk_wide
+
+    rng = np.random.default_rng(0)
+    for shape, k in [((33000,), 10), ((3, 1300), 7), ((2, 5, 1111), 4)]:
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        v, i = topk_wide(x, k, chunk=128)
+        rv, ri = jax.lax.top_k(x, k)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        assert int(np.asarray(i).max()) < shape[-1]
+
+
+def test_topk_wide_pad_slots_never_escape():
+    """Rows with < k finite entries: returned indices stay < V even when
+    -inf pad candidates fill the tail of the pool (ADVICE r3)."""
+    from cpmcu_tpu.spec.eagle import topk_wide
+
+    x = jnp.full((2, 1111), -jnp.inf, jnp.float32)
+    x = x.at[:, 5].set(1.0)
+    _, i = topk_wide(x, 8, chunk=128)
+    assert int(np.asarray(i).max()) < 1111
