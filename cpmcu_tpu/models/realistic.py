@@ -312,7 +312,8 @@ def params_cache_key(cfg, seed, **knobs):
     # the cache without a manual _CACHE_VERSION bump (ADVICE r3)
     sig = inspect.signature(init_params_realistic)
     defaults = {n: p.default for n, p in sig.parameters.items()
-                if p.default is not inspect.Parameter.empty}
+                if p.default is not inspect.Parameter.empty
+                and n != "seed"}  # seed is hashed explicitly below
     knobs = {**defaults, **knobs}
     desc = dict(v=_CACHE_VERSION, seed=seed, quant=cfg.quant,
                 quant_lmhead=cfg.quant_lmhead, L=cfg.num_layers,
