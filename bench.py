@@ -518,6 +518,9 @@ def main():
                     "(amortizes spec pipeline fill/drain), else 64")
     # default one full chunk so prefill tok/s is not diluted by padding
     ap.add_argument("--prompt-len", type=int, default=2048)
+    ap.add_argument("--spec-segment", type=int, default=0,
+                    help="override EngineConfig.spec_segment_size (0 = "
+                    "default 12); A/B for dispatch-gap amortization")
     ap.add_argument("--max-len", type=int, default=0, help="0 = solve from HBM")
     ap.add_argument("--chunk-len", type=int, default=2048)
     args = ap.parse_args()
@@ -568,6 +571,8 @@ def main():
     # batch mode splits the budget across slots
     max_len = args.max_len or per_seq * max(args.batch, 1)
     eng = EngineConfig(chunk_length=args.chunk_len, max_total_length=max_len)
+    if args.spec_segment:
+        eng = dataclasses.replace(eng, spec_segment_size=args.spec_segment)
 
     try:
         if args.init_deadline:

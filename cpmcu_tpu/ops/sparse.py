@@ -145,16 +145,21 @@ def stage1_scores(
     bt = min(bt, (T + 7) // 8 * 8)  # decode: don't pad 1 query to 128
     Tp = (T + bt - 1) // bt * bt
     qp = jnp.pad(q, ((0, Tp - T), (0, 0), (0, 0))) if Tp != T else q
-    qg = qp.reshape(Tp // bt, bt, KVH, G, D).astype(jnp.float32)
-    c1f = c1.astype(jnp.float32)
-    c2f = c2.astype(jnp.float32)
+    # keep the dots in the cache dtype (bf16 on TPU): the MXU multiplies
+    # bf16 pairs exactly as f32 casts would, accumulating in f32
+    # (preferred_element_type) — the old f32 upcast halved MXU throughput
+    # for identical products (r4a prefill trace: stage-1 fusions were
+    # 126 ms of an 876 ms late chunk at 96K)
+    qg = qp.reshape(Tp // bt, bt, KVH, G, D)
     valid1 = (jnp.arange(S1, dtype=jnp.int32) < c1_len)[None, None, None, :]
     valid2 = (jnp.arange(c2.shape[1], dtype=jnp.int32) < c2_len)[None, None, None, :]
 
     def one(qc):  # (bt, KVH, G, D) -> (KVH, bt, S1)
-        s1 = jnp.einsum("tkgd,ksd->ktgs", qc, c1f) * scale
+        s1 = jnp.einsum("tkgd,ksd->ktgs", qc, c1,
+                        preferred_element_type=jnp.float32) * scale
         if use_lse:
-            s2 = jnp.einsum("tkgd,ksd->ktgs", qc, c2f) * scale
+            s2 = jnp.einsum("tkgd,ksd->ktgs", qc, c2,
+                            preferred_element_type=jnp.float32) * scale
             lse = _lse(s2, valid2)
         else:
             lse = _lse(s1, valid1)
@@ -228,7 +233,11 @@ def select_blocks(
     pooled = jnp.where(b < init_blocks, jnp.float32(jnp.inf), pooled)
 
     k = min(topk, NB)
-    vals, idx = jax.lax.top_k(pooled, k)  # (KVH, T, k)
+    from .topk import topk_wide
+
+    # chunked exact top-k: NB grows with context (1536 blocks at 96K) and
+    # lax.top_k's full-width sort was ~1 ms per prefill layer there
+    vals, idx = topk_wide(pooled, k, chunk=256)  # (KVH, T, k)
     keep = vals > NEG_INF / 2  # drop forced-out picks (reference idx==-1 skip)
     return idx.astype(jnp.int32), keep, pooled
 

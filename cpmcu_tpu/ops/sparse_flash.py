@@ -315,7 +315,12 @@ def sparse_flash_mha(
     rows = gsub * bt
     if bk is None:
         dbk = TUNE["decode_bk"] or BK_DECODE
-        bk = dbk if T <= 8 and S % dbk == 0 else BK
+        # decode-SHAPED includes spec-tree verify (T = tree_size <= 32, one
+        # round's tokens): its visit union is selection-scattered exactly
+        # like T=1 decode, and BK=512 tiles made the r4a 96K round stream
+        # ~100MB/layer-call (5.4 ms/round of sparse kernel). Prefill keeps
+        # BK: unions there are dense per 256-token query tile.
+        bk = dbk if T <= 32 and S % dbk == 0 else BK
 
     prior = jnp.asarray(prior_len, jnp.int32)
     limit = prior + (T if include_new else 0)
