@@ -22,7 +22,30 @@ BASELINE_DECODE = 154.59  # reference decode tok/s (BASELINE.md)
 BASELINE_PREFILL = 6530.77  # reference prefill tok/s (BASELINE.md)
 
 
-DRAFTER_NOISE = 0.35  # realistic drafter fc1 noise (accept calibration)
+DRAFTER_NOISE = None  # --drafter-noise N forces the legacy noise drafter
+# (for the published accept-vs-noise curve). Default None: the realistic
+# drafter is the DISTILLED one (ridge fit on teacher-forced base streams,
+# tools/distill_drafter.py) named by benchmark/.distill/calibration.json —
+# accept is an output of distillation, not a knob (VERDICT r3 task 3).
+NOISE_FALLBACK = 0.35  # only used when distillation artifacts are absent
+
+
+def make_realistic_drafter(ecfg, cfg, quant_head=False):
+    """Distilled drafter when calibrated artifacts exist (and no explicit
+    --drafter-noise); else the legacy noise drafter. Returns (params, kind)."""
+    m = None if DRAFTER_NOISE is not None else distill_manifest()
+    if m:
+        from cpmcu_tpu.models.realistic import init_eagle_params_distilled
+
+        return init_eagle_params_distilled(
+            ecfg, cfg, m["drafter_path"], seed=0, quant_head=quant_head
+        ), "distilled"
+    from cpmcu_tpu.models.realistic import init_eagle_params_realistic
+
+    noise = NOISE_FALLBACK if DRAFTER_NOISE is None else DRAFTER_NOISE
+    return init_eagle_params_realistic(
+        ecfg, cfg, seed=0, drafter_noise=noise, quant_head=quant_head
+    ), f"noise{noise:g}"
 
 HIER_DRAFT = "quant"  # hier draft-model weights: "quant" (reference
 # pairing) | "bf16" (fewer tiny-kernel dispatches; bench --hier-draft)
@@ -32,18 +55,51 @@ REALISTIC = False  # --realistic: correlated synthetic checkpoint (smooth
 # i.i.d. random weights. See cpmcu_tpu/models/realistic.py.
 
 
+DISTILL_SCALE = None  # --distill-scale S: candidate override used by
+# tools/calibrate_accept.py while the calibration manifest is being chosen
+
+
+def distill_manifest():
+    """Accept-calibration manifest written by tools/calibrate_accept.py:
+    names the base difficulty knob and the distilled-drafter npz whose
+    emergent accept anchors the headline (VERDICT r3 task 3). None when the
+    distillation artifacts are absent (fresh checkout) — bench then falls
+    back to the noise drafter and labels the run accordingly."""
+    ddir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmark", ".distill")
+    if DISTILL_SCALE is not None:
+        drafter = os.path.join(ddir, f"drafter_s{DISTILL_SCALE:g}.npz")
+        if not os.path.exists(drafter):
+            return None
+        return {"layer_out_scale": DISTILL_SCALE, "drafter_path": drafter}
+    path = os.path.join(ddir, "calibration.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        m = json.load(f)
+    drafter = os.path.join(ddir, m["drafter"])
+    if not os.path.exists(drafter):
+        return None
+    m["drafter_path"] = drafter
+    return m
+
+
 def make_params(cfg, key):
     from cpmcu_tpu.models import llama
 
     if REALISTIC or os.environ.get("CPMCU_REALISTIC") == "1":
         from cpmcu_tpu.models.realistic import init_params_realistic_cached
 
+        m = distill_manifest()
+        knobs = ({"layer_out_scale": m["layer_out_scale"]}
+                 if m and "layer_out_scale" in m else {})
         # disk-cached: ~4 min of numpy generation otherwise eats the
         # driver's bench timeout (first run generates + saves)
         return init_params_realistic_cached(
             cfg, seed=0,
             cache_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".realistic_cache"),
+            **knobs,
         )
     if cfg.quant:
         from cpmcu_tpu.models.quantize import init_params_quant
@@ -244,15 +300,10 @@ def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2",
             }
         if REALISTIC:
             # drafter distilled from the correlated synthetic base: accept
-            # emerges from actual base/drafter argmax agreement (~2.4 at
-            # the default drafter_noise) instead of an oracle construction
-            from cpmcu_tpu.models.realistic import (
-                init_eagle_params_realistic,
-            )
-
-            eparams = init_eagle_params_realistic(
-                ecfg, cfg, seed=0, drafter_noise=DRAFTER_NOISE,
-                quant_head=quant_draft_head)
+            # emerges from actual base/drafter argmax agreement instead of
+            # an oracle construction (make_realistic_drafter)
+            eparams, kind = make_realistic_drafter(
+                ecfg, cfg, quant_head=quant_draft_head)
             engine = SpecEngine(cfg, ecfg, eng, params, eparams)
             rng = np.random.default_rng(0)
             ids = rng.integers(0, cfg.vocab_size, size=prompt_len).tolist()
@@ -266,6 +317,7 @@ def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2",
                 "decode_tok_s": (n - 1) / max(decode_time, 1e-9),
                 "prefill_tok_s": prompt_len / max(prefill_time, 1e-9),
                 "mean_accept": engine.mean_accept_length(),
+                "drafter": kind,
             }
         eparams = init_eagle_params(ecfg, jax.random.PRNGKey(1))
         H = cfg.hidden_size
@@ -389,15 +441,10 @@ def bench_batch(cfg, eng, steps=64, prompt_len=128, batch=8, spec=False,
                                use_attn_norm=True, frspec_vocab_size=0)
             params, eparams = _oracle_spec_pair(cfg, ecfg)
         elif REALISTIC:
-            from cpmcu_tpu.models.realistic import (
-                init_eagle_params_realistic,
-            )
-
             ecfg = EagleConfig(model=draft_cfg, num_iter=2, topk_per_iter=10,
                                tree_size=12, window=0, use_input_norm=True,
                                use_attn_norm=True, frspec_vocab_size=32768)
-            eparams = init_eagle_params_realistic(
-                ecfg, cfg, seed=0, drafter_noise=DRAFTER_NOISE)
+            eparams, _ = make_realistic_drafter(ecfg, cfg)
         else:
             ecfg = EagleConfig(model=draft_cfg, num_iter=2, topk_per_iter=10,
                                tree_size=12, window=0, use_input_norm=True,
@@ -497,10 +544,16 @@ def main():
                     choices=["quant", "bf16"],
                     help="hier spec draft-model weight dtype (A/B: tiny "
                     "quant matmuls are dispatch-bound on TPU)")
-    ap.add_argument("--drafter-noise", type=float, default=0.35,
-                    help="realistic drafter fc1 noise: calibrates the "
-                    "measured accept length (reference real-checkpoint "
-                    "accept is 2.5; 0.35 lands ~1.9 on the 8B)")
+    ap.add_argument("--distill-scale", type=float, default=None,
+                    help="candidate layer_out_scale during accept "
+                    "calibration (uses benchmark/.distill/drafter_sS.npz "
+                    "instead of the manifest)")
+    ap.add_argument("--drafter-noise", type=float, default=None,
+                    help="force the LEGACY noise drafter with this fc1 "
+                    "noise (for the published accept-vs-noise curve). "
+                    "Default: the distilled drafter named by "
+                    "benchmark/.distill/calibration.json — accept is an "
+                    "output of distillation, not a knob")
     ap.add_argument("--realistic", action="store_true",
                     help="correlated synthetic checkpoint (smooth attention "
                     "-> non-saturated sparse unions; distilled drafter with "
@@ -560,6 +613,8 @@ def main():
     HIER_DRAFT = args.hier_draft
     global DRAFTER_NOISE
     DRAFTER_NOISE = args.drafter_noise
+    global DISTILL_SCALE
+    DISTILL_SCALE = args.distill_scale
     if args.v3_extract:
         from cpmcu_tpu.ops import quant as _q
 
@@ -625,6 +680,8 @@ def main():
                            quant_draft_head=args.quant_draft_head,
                            oracle_accept=args.oracle_accept)
             extra["mean_accept_length"] = round(r["mean_accept"], 3)
+            if "drafter" in r:
+                extra["drafter"] = r["drafter"]
             mode = f"sparse-{args.prompt_len}ctx-{args.spec_type}-spec"
             if args.oracle_union:
                 mode += "-ou"
@@ -639,6 +696,8 @@ def main():
                            quant_draft_head=args.quant_draft_head,
                            oracle_accept=args.oracle_accept)
             extra["mean_accept_length"] = round(r["mean_accept"], 3)
+            if "drafter" in r:
+                extra["drafter"] = r["drafter"]
             mode = f"{args.spec_type}-spec"
         elif args.prefix_bench:
             r = bench_prefix_cache(cfg, eng, prompt_len=args.prompt_len)

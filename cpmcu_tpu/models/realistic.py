@@ -283,6 +283,31 @@ def init_eagle_params_realistic(
     return p
 
 
+def init_eagle_params_distilled(
+    ecfg,
+    cfg: ModelConfig,
+    npz_path: str,
+    seed: int = 0,
+    *,
+    quant_head: bool = False,
+) -> dict:
+    """Drafter whose fc1/fc2 are the ridge-regression distillation optimum
+    fitted on teacher-forced base streams (tools/distill_drafter.py) — the
+    accept length is then an OUTPUT of distillation, with no noise knob
+    (VERDICT r3 task 3). Everything else (output-shrunk decoder layer,
+    shared FR head) matches init_eagle_params_realistic."""
+    import jax.numpy as jnp  # noqa: F811  (module-level import exists)
+
+    p = init_eagle_params_realistic(ecfg, cfg, seed=seed,
+                                    quant_head=quant_head)
+    z = np.load(npz_path)
+    dt = ecfg.model.jnp_dtype
+    p["fc1"] = {"w": jnp.asarray(z["fc1_w"], dt),
+                "b": jnp.asarray(z["fc1_b"], dt)}
+    p["fc2"] = {"w": jnp.asarray(z["fc2_w"], dt)}
+    return p
+
+
 # ---------------------------------------------------------------------------
 # disk cache: the 8B takes ~4 min of numpy generation+quantization — too
 # long inside the driver's bench timeout. Leaves are stored flat (path ->
