@@ -315,12 +315,14 @@ def sparse_flash_mha(
     rows = gsub * bt
     if bk is None:
         dbk = TUNE["decode_bk"] or BK_DECODE
-        # decode-SHAPED includes spec-tree verify (T = tree_size <= 32, one
-        # round's tokens): its visit union is selection-scattered exactly
-        # like T=1 decode, and BK=512 tiles made the r4a 96K round stream
-        # ~100MB/layer-call (5.4 ms/round of sparse kernel). Prefill keeps
-        # BK: unions there are dense per 256-token query tile.
-        bk = dbk if T <= 32 and S % dbk == 0 else BK
+        # MEASURED (r4b, 96K realistic full stack): spec-tree verify
+        # (T = tree_size) must KEEP BK=512 — switching trees to 128-row
+        # tiles quadrupled the grid (768 steps/kv head) and regressed the
+        # round 20 -> 36 ms; at bk=512 the call is near its tile-DMA floor
+        # (~98 MB/call when the 12-token union covers most tiles). Only
+        # true decode shapes (T <= 8: single token / short chains) win
+        # from finer tiles.
+        bk = dbk if T <= 8 and S % dbk == 0 else BK
 
     prior = jnp.asarray(prior_len, jnp.int32)
     limit = prior + (T if include_new else 0)
