@@ -38,8 +38,14 @@ from .sparse import BLOCK, NEG_INF
 # Tiling knobs (ablation scripts mutate + jax.clear_caches(), like
 # ops.quant.TUNE): gs = g-split factor, bt = query tokens/tile (0 = auto),
 # decode_bk = KV rows per decode tile (64 = exactly one selection block,
-# halving scattered-block DMA vs 128; A/B on hardware).
-TUNE = {"prefill_gs": 1, "prefill_bt": 256, "decode_bk": 128}
+# halving scattered-block DMA vs 128; A/B on hardware), decode_pair =
+# KV sub-tiles processed per grid step on decode/tree-shaped calls (each
+# sub-tile is its own BlockSpec ref with an independent load-table index,
+# so scattered fine tiles share one grid step: bytes scale with the
+# fine-tile visitation while the step count stays at the coarse-tile
+# count — the r4b bk=128 regression was 4x the GRID, not the tile size).
+TUNE = {"prefill_gs": 1, "prefill_bt": 256, "decode_bk": 128,
+        "decode_pair": 4, "prefill_pair": 1}
 # prefill_gs/bt measured on TPU at 94K ctx, 2048-chunk (VERDICT r2 task 5;
 # benchmark/results/r3a_gsplit_ab.log + r3b_gsplit_ab_realistic.log):
 #   saturated unions:  bt256 1250.9 ms < gs4 1310.0 < gs1-auto 1385.0
@@ -156,8 +162,8 @@ def compact_visit_tables(load_idx, visited, nbv: int):
 
 def _sparse_kernel(
     # scalar prefetch
-    load_ref,  # (KVH*nq*NBK,) int32
-    visit_ref,  # (KVH*nq*NBK,) int32 0/1
+    load_ref,  # (KVH*nq*NGRID,) int32 — NGRID = grid_steps * pair sub-tiles
+    visit_ref,  # (KVH*nq*NGRID,) int32 0/1
     limit_ref,  # (1,) int32
     # inputs
     q_ref,  # (1, 1, rows, D)
@@ -165,14 +171,10 @@ def _sparse_kernel(
                # tile*8+sb visible to query t (constant in b: one DMA per
                # query tile, the pipeline elides the repeats)
     pos_ref,  # (1, 1, BT) int32
-    k_ref,  # (1, BK, D)
-    v_ref,  # (1, BK, D)
-    # outputs
-    o_ref,  # (1, 1, rows, D)
-    lse_ref,  # (1, 1, rows, 128)
-    # scratch
-    m_scr, l_scr, acc_scr,
-    *,
+    # then ``pair`` interleaved (k_ref, v_ref) pairs, each (1, BK, D):
+    # sub-tile p maps KV tile load_ref[base + p] — independent scattered
+    # tiles share one grid step (fewer, fatter steps; VERDICT r3 task 1a)
+    *refs,  # k0, v0, [k1, v1, ...], o_ref, lse_ref, m_scr, l_scr, acc_scr
     scale: float,
     g: int,
     bt: int,
@@ -182,18 +184,24 @@ def _sparse_kernel(
     kvh_per_slot: int = 0,  # batched-slot mode (sparse_flash_mha_slots):
                   # grid axis 0 is (slot, kv head) and ``limit_ref`` holds
                   # one history length per slot instead of one scalar
+    pair: int = 1,  # KV sub-tiles folded into each grid step
 ):
+    kv_refs = refs[: 2 * pair]
+    o_ref, lse_ref = refs[2 * pair], refs[2 * pair + 1]
+    m_scr, l_scr, acc_scr = refs[2 * pair + 2:]
+
     h = pl.program_id(0) // gs
     qi = pl.program_id(1)
     b = pl.program_id(2)
     nq = pl.num_programs(1)
-    nbk = pl.num_programs(2)
+    nsteps = pl.num_programs(2)
+    ngrid = nsteps * pair
     rows, D = q_ref.shape[2], q_ref.shape[3]
     if kvh_per_slot:
         limit = limit_ref[pl.program_id(0) // kvh_per_slot]
     else:
         limit = limit_ref[0]
-    flat = (h * nq + qi) * nbk + b
+    base = (h * nq + qi) * ngrid + b * pair
 
     @pl.when(b == 0)
     def _init():
@@ -201,46 +209,62 @@ def _sparse_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    @pl.when(visit_ref[flat] == 1)
-    def _compute():
-        tile = load_ref[flat]  # actual KV-tile index mapped this step
-        bk = k_ref.shape[-2]  # KV rows per tile
-        q = q_ref[0, 0]
-        k = k_ref[...].reshape(k_ref.shape[-2], k_ref.shape[-1])
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (rows, BK)
+    anyv = visit_ref[base]
+    for p in range(1, pair):
+        anyv = anyv | visit_ref[base + p]
 
-        # per-token visibility in (BT, BK) space: block-level selection ∪
-        # window comes pre-packed per (token, tile) as an 8-bit mask (one
-        # shift+and here); only exact causality/limit stay per-token
-        j = tile * bk + jax.lax.broadcasted_iota(jnp.int32, (bt, bk), 1)
+    @pl.when(anyv == 1)
+    def _compute():
+        q = q_ref[0, 0]
         qpos = pos_ref[0, 0][:, None]  # (BT, 1)
         bv = bvis_ref[0, 0]  # (BT, NBK)
         cols = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1)
-        word = jnp.sum(jnp.where(cols == tile, bv, 0), axis=1, keepdims=True)
-        sb = jax.lax.broadcasted_iota(jnp.int32, (bt, bk), 1) // BLOCK
-        blockok = jax.lax.shift_right_logical(word, sb) & 1
-        ok = (j <= qpos) & (j < limit) & (blockok == 1)
-        ok = jnp.broadcast_to(ok[None], (g, bt, bk)).reshape(rows, bk)
-        s = jnp.where(ok, s, NEG_INF)
+        s_parts = []
+        v_parts = []
+        for p in range(pair):
+            k_ref, v_ref = kv_refs[2 * p], kv_refs[2 * p + 1]
+            tile = load_ref[base + p]  # actual KV-tile index mapped here
+            bk = k_ref.shape[-2]  # KV rows per sub-tile
+            k = k_ref[...].reshape(bk, k_ref.shape[-1])
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (rows, BK)
+
+            # per-token visibility in (BT, BK) space: block-level selection
+            # ∪ window comes pre-packed per (token, tile) as an 8-bit mask
+            # (one shift+and); exact causality/limit stay per-key. Padded /
+            # clamped sub-tiles (visit 0) mask out entirely.
+            j = tile * bk + jax.lax.broadcasted_iota(jnp.int32, (bt, bk), 1)
+            word = jnp.sum(
+                jnp.where(cols == tile, bv, 0), axis=1, keepdims=True
+            )
+            sb = jax.lax.broadcasted_iota(jnp.int32, (bt, bk), 1) // BLOCK
+            blockok = jax.lax.shift_right_logical(word, sb) & 1
+            ok = (j <= qpos) & (j < limit) & (blockok == 1)
+            ok = jnp.logical_and(ok, visit_ref[base + p] == 1)
+            ok = jnp.broadcast_to(ok[None], (g, bt, bk)).reshape(rows, bk)
+            s_parts.append(jnp.where(ok, s, NEG_INF))
+            v_parts.append(v_ref[...].reshape(bk, v_ref.shape[-1]))
+        s = s_parts[0] if pair == 1 else jnp.concatenate(s_parts, axis=1)
+        v = v_parts[0] if pair == 1 else jnp.concatenate(v_parts, axis=0)
 
         m_prev = m_scr[:, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
+        p_mat = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_scr[:] = jnp.broadcast_to(
-            l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True), l_scr.shape
+            l_scr[:, :1] * alpha + jnp.sum(p_mat, axis=1, keepdims=True),
+            l_scr.shape,
         )
-        v = v_ref[...].reshape(v_ref.shape[-2], v_ref.shape[-1])
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p_mat.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
 
-    @pl.when(b == nbk - 1)
+    @pl.when(b == nsteps - 1)
     def _finalize():
         l = l_scr[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
@@ -313,16 +337,29 @@ def sparse_flash_mha(
     Tp = nq * bt
     gsub = G // gs  # query heads per grid row after the split
     rows = gsub * bt
+    # fold ``pair`` fine sub-tiles into each grid step. Fine tiles cut
+    # tile-DMA bytes (at 96K a 512-row tile holds 8 selection blocks, so
+    # the tile-level union saturates long before the block-level union
+    # does: block union 0.3 -> tile union ~0.9 at bk=512 vs ~0.5 at
+    # bk=128); pairing keeps the step count at the coarse-tile figure
+    # (the r4b bk=128 regression: 768 steps at ~0.44us/step of fixed
+    # overhead — 4 sub-tiles/step restores 192 steps at half the bytes).
+    if T < 1024:
+        pair = max(1, int(TUNE.get("decode_pair", 1)))
+    else:
+        pair = max(1, int(TUNE.get("prefill_pair", 1)))
     if bk is None:
         dbk = TUNE["decode_bk"] or BK_DECODE
-        # MEASURED (r4b, 96K realistic full stack): spec-tree verify
-        # (T = tree_size) must KEEP BK=512 — switching trees to 128-row
-        # tiles quadrupled the grid (768 steps/kv head) and regressed the
-        # round 20 -> 36 ms; at bk=512 the call is near its tile-DMA floor
-        # (~98 MB/call when the 12-token union covers most tiles). Only
-        # true decode shapes (T <= 8: single token / short chains) win
-        # from finer tiles.
-        bk = dbk if T <= 8 and S % dbk == 0 else BK
+        if pair > 1 and S % dbk == 0:
+            bk = dbk
+        else:
+            # unpaired: spec-tree verify (T = tree_size) must KEEP BK=512 —
+            # r4b measured 128-row tiles quadrupling the grid (round
+            # 20 -> 36 ms). Only true decode shapes (T <= 8) win from
+            # finer tiles without pairing.
+            bk = dbk if T <= 8 and S % dbk == 0 else BK
+    if S % bk:
+        pair = 1  # cannot tile this capacity; fall back to the padded path
 
     prior = jnp.asarray(prior_len, jnp.int32)
     limit = prior + (T if include_new else 0)
@@ -338,6 +375,13 @@ def sparse_flash_mha(
     if nbv < nbk:
         load_idx, visited = compact_visit_tables(load_idx, visited, nbv)
     ngrid = load_idx.shape[-1]
+    if ngrid % pair:
+        padn = pair - ngrid % pair
+        load_idx = jnp.pad(load_idx, ((0, 0), (0, 0), (0, padn)),
+                           mode="edge")
+        visited = jnp.pad(visited, ((0, 0), (0, 0), (0, padn)))
+        ngrid += padn
+    nsteps = ngrid // pair
     Sp = nbk * bk
     if Sp != S:
         k_cache = jnp.pad(k_cache, ((0, 0), (0, Sp - S), (0, 0)))
@@ -356,26 +400,29 @@ def sparse_flash_mha(
         pos_p = jnp.pad(pos_p, (0, Tp - T), constant_values=0)
     pos_tiled = pos_p.reshape(nq, 1, bt)
 
-    if layer is None:
-        def kv_index(h, qi, b, load_ref, visit_ref, limit_ref):
-            nqq = pl.num_programs(1)
-            nbb = pl.num_programs(2)
-            kvh = h // gs
-            return (kvh, load_ref[(kvh * nqq + qi) * nbb + b], 0)
+    def make_kv_index(p):
+        if layer is None:
+            def kv_index(h, qi, b, load_ref, visit_ref, limit_ref):
+                kvh = h // gs
+                return (kvh, load_ref[(kvh * nq + qi) * ngrid + b * pair + p], 0)
+        else:
+            def kv_index(h, qi, b, load_ref, visit_ref, limit_ref):
+                kvh = h // gs
+                return (layer, kvh,
+                        load_ref[(kvh * nq + qi) * ngrid + b * pair + p], 0)
+        return kv_index
 
-        kv_block = (1, bk, D)
-    else:
-        def kv_index(h, qi, b, load_ref, visit_ref, limit_ref):
-            nqq = pl.num_programs(1)
-            nbb = pl.num_programs(2)
-            kvh = h // gs
-            return (layer, kvh, load_ref[(kvh * nqq + qi) * nbb + b], 0)
-
-        kv_block = (1, 1, bk, D)
+    kv_block = (1, bk, D) if layer is None else (1, 1, bk, D)
+    kv_specs = []
+    kv_operands = []
+    for p in range(pair):
+        idx = make_kv_index(p)
+        kv_specs += [pl.BlockSpec(kv_block, idx), pl.BlockSpec(kv_block, idx)]
+        kv_operands += [k_cache, v_cache]
 
     kernel = functools.partial(
         _sparse_kernel, scale=scale, g=gsub, bt=bt, emit_lse=return_lse,
-        gs=gs,
+        gs=gs, pair=pair,
     )
 
     if return_lse:
@@ -389,14 +436,13 @@ def sparse_flash_mha(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(KVH * gs, nq, ngrid),
+            grid=(KVH * gs, nq, nsteps),
             in_specs=[
                 pl.BlockSpec((1, 1, rows, D), lambda h, qi, b, *_: (h, qi, 0, 0)),
                 pl.BlockSpec((1, 1, bt, nbk),
                              lambda h, qi, b, *_: (h // gs, qi, 0, 0)),
                 pl.BlockSpec((1, 1, bt), lambda h, qi, b, *_: (qi, 0, 0)),
-                pl.BlockSpec(kv_block, kv_index),
-                pl.BlockSpec(kv_block, kv_index),
+                *kv_specs,
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, rows, D), lambda h, qi, b, *_: (h, qi, 0, 0)),
@@ -421,7 +467,7 @@ def sparse_flash_mha(
         interpret=interpret,
     )(
         load_idx.reshape(-1), visited.reshape(-1), limit.reshape(1),
-        qg, blockvis, pos_tiled, k_cache, v_cache,
+        qg, blockvis, pos_tiled, *kv_operands,
     )
 
     out = (
@@ -554,6 +600,14 @@ def sparse_flash_mha_slots(
             functools.partial(compact_visit_tables, nbv=nbv)
         )(load_idx, visited)
     ngrid = load_idx.shape[-1]
+    pair = max(1, int(TUNE.get("decode_pair", 1)))
+    if ngrid % pair:
+        padn = pair - ngrid % pair
+        load_idx = jnp.pad(load_idx, ((0, 0), (0, 0), (0, 0), (0, padn)),
+                           mode="edge")
+        visited = jnp.pad(visited, ((0, 0), (0, 0), (0, 0), (0, padn)))
+        ngrid += padn
+    nsteps = ngrid // pair
 
     # (B, T, H, D) -> (B*KVH, nq=1, G*bt, D), token t of group g at row
     # g*bt + t
@@ -570,26 +624,35 @@ def sparse_flash_mha_slots(
     # tile id); only load/visit were compacted to ngrid steps
     bvis = blockvis.reshape(B * KVH, 1, bt, blockvis.shape[-1])
 
-    def kv_index(i, qi, b, load_ref, visit_ref, limit_ref):
-        nbb = pl.num_programs(2)
-        return (i // KVH, layer, i % KVH, load_ref[i * nbb + b], 0)
+    def make_kv_index(p):
+        def kv_index(i, qi, b, load_ref, visit_ref, limit_ref):
+            return (i // KVH, layer, i % KVH,
+                    load_ref[i * ngrid + b * pair + p], 0)
+        return kv_index
+
+    kv_specs = []
+    kv_operands = []
+    for p in range(pair):
+        idx = make_kv_index(p)
+        kv_specs += [pl.BlockSpec((1, 1, 1, bk, D), idx),
+                     pl.BlockSpec((1, 1, 1, bk, D), idx)]
+        kv_operands += [k_cache, v_cache]
 
     kernel = functools.partial(
         _sparse_kernel, scale=scale, g=G, bt=bt, emit_lse=True,
-        kvh_per_slot=KVH,
+        kvh_per_slot=KVH, pair=pair,
     )
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(B * KVH, 1, ngrid),
+            grid=(B * KVH, 1, nsteps),
             in_specs=[
                 pl.BlockSpec((1, 1, rows, D), lambda i, qi, b, *_: (i, 0, 0, 0)),
                 pl.BlockSpec((1, 1, bt, blockvis.shape[-1]),
                              lambda i, qi, b, *_: (i, 0, 0, 0)),
                 pl.BlockSpec((1, 1, bt), lambda i, qi, b, *_: (i // KVH, 0, 0)),
-                pl.BlockSpec((1, 1, 1, bk, D), kv_index),
-                pl.BlockSpec((1, 1, 1, bk, D), kv_index),
+                *kv_specs,
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, rows, D), lambda i, qi, b, *_: (i, 0, 0, 0)),
@@ -608,7 +671,7 @@ def sparse_flash_mha_slots(
         interpret=interpret,
     )(
         load_idx.reshape(-1), visited.reshape(-1), lengths,
-        qg, bvis, pos_tiled, k_cache, v_cache,
+        qg, bvis, pos_tiled, *kv_operands,
     )
 
     out = (

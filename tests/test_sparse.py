@@ -669,3 +669,44 @@ def test_sparse_kernel_decode_bk64_matches_oracle():
                    prior, None, bm)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("pair,T", [(1, 5), (2, 5), (4, 5), (4, 16), (3, 1)])
+def test_sparse_kernel_pair_matches_oracle(pair, T):
+    """pair sub-tiles per grid step (TUNE decode_pair) stay exact — incl.
+    pair=3 (ngrid padded to a pair multiple) and tree-shaped T=16."""
+    from cpmcu_tpu.ops.attention import mha_xla
+    from cpmcu_tpu.ops import sparse_flash as sf
+
+    rng = np.random.default_rng(17 + pair)
+    H, KVH, D = 8, 2, 32
+    S = 1024
+    NB = S // 64
+    prior = 700
+    local = 3
+
+    q = rng.normal(size=(T, H, D)).astype(np.float32)
+    kc = rng.normal(size=(KVH, S, D)).astype(np.float32)
+    vc = rng.normal(size=(KVH, S, D)).astype(np.float32)
+    positions = np.arange(prior, prior + T, dtype=np.int32)
+    idx, valid = _rand_selection(rng, KVH, T, NB, 4)
+
+    old = dict(sf.TUNE)
+    sf.TUNE["decode_pair"] = pair
+    jax.clear_caches()  # TUNE is read at trace time (CLAUDE.md pjit-cache)
+    try:
+        got = sf.sparse_flash_mha(
+            jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc), prior,
+            jnp.asarray(idx), jnp.asarray(valid), jnp.asarray(positions),
+            include_new=True, local_blocks=local, interpret=True,
+        )
+    finally:
+        sf.TUNE.clear()
+        sf.TUNE.update(old)
+        jax.clear_caches()
+    bits = sp.bits_from_topk(jnp.asarray(idx), jnp.asarray(valid), NB)
+    bm = sp.block_visibility(bits, jnp.asarray(positions), local_blocks=local)
+    want = mha_xla(jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc),
+                   prior, None, bm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

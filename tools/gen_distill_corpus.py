@@ -93,22 +93,41 @@ def main():
                                               cache_dir=cache_dir,
                                               layer_out_scale=s)
         engine = Engine(cfg, eng, params)
-        toks_all, hid_all = [], []
+        T = args.prompt + args.gen
+        stream_paths = []
         for i in range(args.streams):
+            spath = os.path.join(args.out, f"corpus_s{s:g}_stream{i}.npz")
+            stream_paths.append(spath)
+            if os.path.exists(spath):
+                print(json.dumps({"scale": s, "stream": i, "resumed": spath}),
+                      flush=True)
+                continue
             rng = np.random.default_rng(1000 + i)
             prompt = rng.integers(0, cfg.vocab_size,
                                   size=args.prompt).tolist()
+            # reset BEFORE generate: prefill appends at host_len, and the
+            # previous stream's capture_hiddens left the cache full — without
+            # this the capacity guard truncates every stream after the first
+            # (r4c crash: T=1009 vs 4096 ragged np.stack).
+            engine.reset()
             gen, _, _ = engine.generate(prompt,
                                         generation_length=args.gen + 1)
-            engine.reset()
             seq = np.asarray(prompt + gen[:args.gen], np.int32)
+            assert len(seq) == T, (
+                f"stream {i} truncated at {len(seq)} (< {T}): capacity guard "
+                f"fired — check max_total_length vs prompt+gen")
             hid = capture_hiddens(cfg, engine, seq)
-            toks_all.append(seq)
-            hid_all.append(hid.view(np.uint16))  # bf16 bits
+            np.savez(spath, tokens=seq, hidden=hid.view(np.uint16))
             print(json.dumps({"scale": s, "stream": i, "T": len(seq),
                               "uniq_frac": round(
                                   len(set(seq.tolist())) / len(seq), 3)}),
                   flush=True)
+        toks_all = []
+        hid_all = []
+        for spath in stream_paths:
+            d = np.load(spath)
+            toks_all.append(d["tokens"])
+            hid_all.append(d["hidden"])
         path = os.path.join(args.out, f"corpus_s{s:g}.npz")
         np.savez(path, tokens=np.stack(toks_all), hidden=np.stack(hid_all),
                  layer_out_scale=np.float64(s))
