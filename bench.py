@@ -579,6 +579,12 @@ def main():
     ap.add_argument("--spec-segment", type=int, default=0,
                     help="override EngineConfig.spec_segment_size (0 = "
                     "default 12); A/B for dispatch-gap amortization")
+    ap.add_argument("--sparse-pair", type=int, default=0,
+                    help="override ops.sparse_flash TUNE['decode_pair'] "
+                    "(0 = keep default); A/B for the paired sub-tile kernel")
+    ap.add_argument("--prefill-pair", type=int, default=0,
+                    help="override ops.sparse_flash TUNE['prefill_pair'] "
+                    "(0 = keep default 1); pairs fine KV tiles at prefill")
     ap.add_argument("--max-len", type=int, default=0, help="0 = solve from HBM")
     ap.add_argument("--chunk-len", type=int, default=2048)
     args = ap.parse_args()
@@ -640,6 +646,13 @@ def main():
     eng = EngineConfig(chunk_length=args.chunk_len, max_total_length=max_len)
     if args.spec_segment:
         eng = dataclasses.replace(eng, spec_segment_size=args.spec_segment)
+    if args.sparse_pair or args.prefill_pair:
+        from cpmcu_tpu.ops import sparse_flash as _sf
+
+        if args.sparse_pair:
+            _sf.TUNE["decode_pair"] = args.sparse_pair
+        if args.prefill_pair:
+            _sf.TUNE["prefill_pair"] = args.prefill_pair
 
     try:
         if args.init_deadline:

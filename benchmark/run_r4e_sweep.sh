@@ -1,0 +1,57 @@
+#!/bin/bash
+# Round-4 sweep E (runs after r4d releases the TPU): hier-spec measurement
+# reconciliation (VERDICT r3 task 5), batched-spec decomposition + the
+# batch-size crossover vs plain batching (task 6).
+set -u
+cd "$(dirname "$0")/.."
+OUT="${1:-benchmark/results/r4e_sweep.jsonl}"
+mkdir -p "$(dirname "$OUT")"
+
+run() {
+  local name="$1"; shift
+  if [ -n "${SWEEP_DEADLINE:-}" ] && \
+     [ $(date +%s) -gt $((SWEEP_DEADLINE - 1500)) ]; then
+    echo "{\"mode\": \"$name\", \"result\": \"skipped_deadline\"}" >> "$OUT"
+    return
+  fi
+  echo "=== $name: $* ($(date +%H:%M:%S))" >&2
+  local line
+  line=$(timeout 1600 "$@" 2>/dev/null | tail -1)
+  if [ -n "$line" ]; then
+    echo "{\"mode\": \"$name\", \"result\": $line}" >> "$OUT"
+    echo "$name -> $line" >&2
+  else
+    echo "{\"mode\": \"$name\", \"result\": null}" >> "$OUT"
+    echo "$name -> FAILED/TIMEOUT" >&2
+  fi
+}
+
+# wait (up to 4 h) for the r4d sweep to release the TPU
+for i in $(seq 1440); do
+  grep -q "r4d sweep done" benchmark/results/r4d_sweep.log 2>/dev/null && break
+  sleep 10
+done
+sleep 15
+
+# hier reconciliation: one process, three measurement styles + trace
+echo "=== hier reconcile ($(date +%H:%M:%S))" >&2
+timeout 2400 python benchmark/exp_r4c_hier.py quant \
+    > benchmark/results/r4e_hier_profile.log 2>&1
+echo "{\"mode\": \"hier_profile\", \"result\": \"rc=$?\"}" >> "$OUT"
+
+# batched-spec decomposition (plain anchor + spec + per-round + trace)
+echo "=== batchspec profile ($(date +%H:%M:%S))" >&2
+timeout 2400 python benchmark/exp_r4e_batchspec.py 8 \
+    > benchmark/results/r4e_batchspec_profile.log 2>&1
+echo "{\"mode\": \"batchspec_profile\", \"result\": \"rc=$?\"}" >> "$OUT"
+
+# crossover rows: does batched spec beat plain batching at smaller B?
+run batch2_plain  python bench.py --batch 2 --prompt-len 512
+run batch4_plain  python bench.py --batch 4 --prompt-len 512
+run batch2_spec_oracle python bench.py --batch 2 --spec --oracle-accept \
+    --prompt-len 512
+run batch4_spec_oracle python bench.py --batch 4 --spec --oracle-accept \
+    --prompt-len 512
+run batch8_spec_oracle python bench.py --batch 8 --spec --oracle-accept \
+    --prompt-len 512
+echo "r4e sweep done ($(date +%H:%M:%S))" >&2
