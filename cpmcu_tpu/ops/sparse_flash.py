@@ -167,9 +167,13 @@ def _sparse_kernel(
     limit_ref,  # (1,) int32
     # inputs
     q_ref,  # (1, 1, rows, D)
-    bvis_ref,  # (1, 1, BT, NBK) int32 — bit sb of word [t, tile] = block
-               # tile*8+sb visible to query t (constant in b: one DMA per
-               # query tile, the pipeline elides the repeats)
+    bvis_ref,  # (1, 1, BT, pair) int32 — bit sb of word [t, p] = block
+               # tile_p*sub+sb visible to query t, where tile_p is the KV
+               # tile this step's sub-tile p maps. Pre-gathered by the XLA
+               # prologue via the load table: the kernel reads its column
+               # directly instead of scanning an NBK-wide row per step
+               # (that scan was ~0.2us/step at prefill and would grow 4x
+               # at bk=128 — larger than the whole per-step floor).
     pos_ref,  # (1, 1, BT) int32
     # then ``pair`` interleaved (k_ref, v_ref) pairs, each (1, BK, D):
     # sub-tile p maps KV tile load_ref[base + p] — independent scattered
@@ -217,8 +221,7 @@ def _sparse_kernel(
     def _compute():
         q = q_ref[0, 0]
         qpos = pos_ref[0, 0][:, None]  # (BT, 1)
-        bv = bvis_ref[0, 0]  # (BT, NBK)
-        cols = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1)
+        bv = bvis_ref[0, 0]  # (BT, pair)
         s_parts = []
         v_parts = []
         for p in range(pair):
@@ -232,13 +235,11 @@ def _sparse_kernel(
             ) * scale  # (rows, BK)
 
             # per-token visibility in (BT, BK) space: block-level selection
-            # ∪ window comes pre-packed per (token, tile) as an 8-bit mask
-            # (one shift+and); exact causality/limit stay per-key. Padded /
-            # clamped sub-tiles (visit 0) mask out entirely.
+            # ∪ window comes pre-gathered per (token, sub-tile) as a packed
+            # mask word (one shift+and); exact causality/limit stay
+            # per-key. Padded / clamped sub-tiles (visit 0) mask out.
             j = tile * bk + jax.lax.broadcasted_iota(jnp.int32, (bt, bk), 1)
-            word = jnp.sum(
-                jnp.where(cols == tile, bv, 0), axis=1, keepdims=True
-            )
+            word = jax.lax.dynamic_slice_in_dim(bv, p, 1, axis=1)  # (BT, 1)
             sb = jax.lax.broadcasted_iota(jnp.int32, (bt, bk), 1) // BLOCK
             blockok = jax.lax.shift_right_logical(word, sb) & 1
             ok = (j <= qpos) & (j < limit) & (blockok == 1)
@@ -382,6 +383,11 @@ def sparse_flash_mha(
         visited = jnp.pad(visited, ((0, 0), (0, 0), (0, padn)))
         ngrid += padn
     nsteps = ngrid // pair
+    # pre-gather the per-(token, sub-tile) visibility words by the load
+    # table -> (KVH, nq, bt, ngrid); clamped/padded entries carry the
+    # clamped tile's word, masked in-kernel by the visit flag
+    bvis_grid = jnp.take_along_axis(blockvis, load_idx[:, :, None, :],
+                                    axis=-1)
     Sp = nbk * bk
     if Sp != S:
         k_cache = jnp.pad(k_cache, ((0, 0), (0, Sp - S), (0, 0)))
@@ -439,8 +445,8 @@ def sparse_flash_mha(
             grid=(KVH * gs, nq, nsteps),
             in_specs=[
                 pl.BlockSpec((1, 1, rows, D), lambda h, qi, b, *_: (h, qi, 0, 0)),
-                pl.BlockSpec((1, 1, bt, nbk),
-                             lambda h, qi, b, *_: (h // gs, qi, 0, 0)),
+                pl.BlockSpec((1, 1, bt, pair),
+                             lambda h, qi, b, *_: (h // gs, qi, 0, b)),
                 pl.BlockSpec((1, 1, bt), lambda h, qi, b, *_: (qi, 0, 0)),
                 *kv_specs,
             ],
@@ -467,7 +473,7 @@ def sparse_flash_mha(
         interpret=interpret,
     )(
         load_idx.reshape(-1), visited.reshape(-1), limit.reshape(1),
-        qg, blockvis, pos_tiled, *kv_operands,
+        qg, bvis_grid, pos_tiled, *kv_operands,
     )
 
     out = (
@@ -620,9 +626,12 @@ def sparse_flash_mha_slots(
     pos_tiled = jnp.pad(
         positions[:, None], ((0, 0), (0, 0), (0, bt - T))
     )  # (B, 1, bt); padded rows mask to empty (pos 0 < any visited j)
-    # blockvis keeps the FULL tile count (the kernel looks its word up by
-    # tile id); only load/visit were compacted to ngrid steps
-    bvis = blockvis.reshape(B * KVH, 1, bt, blockvis.shape[-1])
+    # pre-gather the per-(token, sub-tile) visibility words by the load
+    # table (clamped/padded entries masked in-kernel by the visit flag)
+    bvis_grid = jnp.take_along_axis(
+        blockvis, load_idx[:, :, :, None, :], axis=-1
+    )  # (B, KVH, 1, bt, ngrid)
+    bvis = bvis_grid.reshape(B * KVH, 1, bt, ngrid)
 
     def make_kv_index(p):
         def kv_index(i, qi, b, load_ref, visit_ref, limit_ref):
@@ -649,8 +658,8 @@ def sparse_flash_mha_slots(
             grid=(B * KVH, 1, nsteps),
             in_specs=[
                 pl.BlockSpec((1, 1, rows, D), lambda i, qi, b, *_: (i, 0, 0, 0)),
-                pl.BlockSpec((1, 1, bt, blockvis.shape[-1]),
-                             lambda i, qi, b, *_: (i, 0, 0, 0)),
+                pl.BlockSpec((1, 1, bt, pair),
+                             lambda i, qi, b, *_: (i, 0, 0, b)),
                 pl.BlockSpec((1, 1, bt), lambda i, qi, b, *_: (i // KVH, 0, 0)),
                 *kv_specs,
             ],

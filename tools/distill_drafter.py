@@ -183,7 +183,9 @@ def main():
                        use_attn_norm=True, frspec_vocab_size=vfr)
 
     H = cfg.hidden_size
-    for path in sorted(glob.glob(os.path.join(args.corpus, "corpus_*.npz"))):
+    paths = [p for p in sorted(glob.glob(
+        os.path.join(args.corpus, "corpus_*.npz"))) if "_stream" not in p]
+    for path in paths:
         toks, hid, scale = load_corpus(path)
         Ns = toks.shape[0]
         ev = args.eval_stream if args.eval_stream >= 0 else Ns - 1
