@@ -53,6 +53,8 @@ def make_realistic_drafter(ecfg, cfg, quant_head=False):
 
 HIER_DRAFT = "quant"  # hier draft-model weights: "quant" (reference
 # pairing) | "bf16" (fewer tiny-kernel dispatches; bench --hier-draft)
+HIER_UNROLL = "scan"  # inner-drafter layer loop: "scan" (dyn-layer kernels,
+# one trace — the r3 hier op-floor fix) | True (legacy; bench --hier-unroll)
 
 REALISTIC = False  # --realistic: correlated synthetic checkpoint (smooth
 # attention -> non-saturated sparse unions; distillable drafter) instead of
@@ -269,7 +271,7 @@ def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2",
         eparams = init_eagle_params(ecfg, jax.random.PRNGKey(2))
         engine = HierSpecEngine(
             cfg, draft_cfg, ecfg, eng, params, dparams, eparams,
-            min_draft_length=8,
+            min_draft_length=8, inner_unroll=HIER_UNROLL,
         )
     else:
         import jax.numpy as jnp
@@ -548,6 +550,9 @@ def main():
                     choices=["quant", "bf16"],
                     help="hier spec draft-model weight dtype (A/B: tiny "
                     "quant matmuls are dispatch-bound on TPU)")
+    ap.add_argument("--hier-unroll", action="store_true",
+                    help="legacy unrolled inner-drafter layer loop (A/B vs "
+                    "the default scan-over-layers dyn-layer kernels)")
     ap.add_argument("--distill-scale", type=float, default=None,
                     help="candidate layer_out_scale during accept "
                     "calibration (uses benchmark/.distill/drafter_sS.npz "
@@ -629,6 +634,8 @@ def main():
         REALISTIC = True
     global HIER_DRAFT
     HIER_DRAFT = args.hier_draft
+    global HIER_UNROLL
+    HIER_UNROLL = True if args.hier_unroll else "scan"
     global DRAFTER_NOISE
     DRAFTER_NOISE = args.drafter_noise
     global DISTILL_SCALE

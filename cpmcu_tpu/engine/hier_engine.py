@@ -41,7 +41,7 @@ from .spec_engine import SpecEngine, _embed, spec_step
 
 @functools.partial(
     jax.jit,
-    static_argnames=("draft_cfg", "ecfg", "attn_impl"),
+    static_argnames=("draft_cfg", "ecfg", "attn_impl", "unroll"),
     donate_argnames=("dcache",),
 )
 def hier_catchup(
@@ -51,7 +51,7 @@ def hier_catchup(
     dcache: KVCache,
     ekv: KVCache,
     draft0,  # int32: the pending token (next chain root)
-    *, attn_impl: str,
+    *, attn_impl: str, unroll=True,
 ):
     """Feed the pending root through the draft model and build a fresh
     EagleState for the inner loop (replaces the reference's
@@ -68,7 +68,7 @@ def hier_catchup(
     _, dcache, normed = llama.forward(
         draft_cfg, dparams, drope, dcache, tok, d0[None],
         logits_mode="none", attn_impl=attn_impl, return_hidden=True,
-        unroll=True,
+        unroll=unroll,
     )
 
     S = ecfg.tree_size
@@ -165,7 +165,7 @@ def hier_outer_verify(
     static_argnames=(
         "base_cfg", "draft_cfg", "ecfg", "inner_rounds", "max_chain",
         "temperature", "top_k", "top_p", "attn_impl", "sparse_select",
-        "defer_compress",
+        "defer_compress", "inner_unroll",
     ),
     donate_argnames=("cache", "dcache", "ekv"),
 )
@@ -181,6 +181,12 @@ def hier_fused_round(
     *, inner_rounds: int, max_chain: int, temperature: float, top_k: int,
     top_p: float, attn_impl: str, sparse_select: bool = False,
     defer_compress: bool = False,
+    inner_unroll="scan",  # layer-loop mode for the DRAFT model's forwards
+    # (catch-up + inner tree decodes): "scan" collapses the ~30 ops/layer
+    # x 24 layers x ~(inner_rounds+1) forwards per outer round into one
+    # scanned trace with dyn-layer kernels (the r3 hier profile counted
+    # 4,032 quant matmuls + 11,508 rotary fusions per 12-round segment —
+    # an in-program op floor, VERDICT r3 task 5). True = legacy unrolled.
 ):
     """One ENTIRE outer round in a single device program: catch-up +
     ``inner_rounds`` inner EAGLE spec rounds (lax.scan) + on-device chain
@@ -209,7 +215,7 @@ def hier_fused_round(
     tok = jnp.asarray(draft0, jnp.int32)[None]
     dcache, estate = hier_catchup.__wrapped__(
         draft_cfg, ecfg, dparams, drope, dcache, ekv, draft0,
-        attn_impl=attn_impl,
+        attn_impl=attn_impl, unroll=inner_unroll,
     )
 
     # 2. fixed number of inner spec rounds (greedy inner: the drafter's
@@ -219,7 +225,7 @@ def hier_fused_round(
         emitted, alen, dcache, estate, key, _ = spec_step.__wrapped__(
             draft_cfg, ecfg, dparams, eparams, drope, dcache, estate, dd0,
             key, temperature=0.0, top_k=0, top_p=1.0, attn_impl=attn_impl,
-            unroll=True,
+            unroll=inner_unroll,
         )
         nxt = emitted[jnp.clip(alen - 1, 0, S - 1)]
         return (dcache, estate, nxt, key), (emitted, alen)
@@ -267,6 +273,7 @@ def hier_fused_round(
     static_argnames=(
         "base_cfg", "draft_cfg", "ecfg", "k", "inner_rounds", "max_chain",
         "temperature", "top_k", "top_p", "attn_impl", "sparse_select",
+        "inner_unroll",
     ),
     donate_argnames=("cache", "dcache", "ekv"),
 )
@@ -281,6 +288,7 @@ def hier_segment(
     draft0, key,
     *, k: int, inner_rounds: int, max_chain: int, temperature: float,
     top_k: int, top_p: float, attn_impl: str, sparse_select: bool = False,
+    inner_unroll="scan",
 ):
     """K fused outer rounds in ONE device program (the hier analog of
     spec_engine.spec_segment): the per-round dispatch + packed-readback sync
@@ -299,7 +307,7 @@ def hier_segment(
             inner_rounds=inner_rounds, max_chain=max_chain,
             temperature=temperature, top_k=top_k, top_p=top_p,
             attn_impl=attn_impl, sparse_select=sparse_select,
-            defer_compress=True,
+            defer_compress=True, inner_unroll=inner_unroll,
         )
         alen = ints[-1]
         root = ints[jnp.clip(alen - 1, 0, max_chain)]
@@ -332,10 +340,15 @@ class HierSpecEngine(Engine):
         attn_impl: str = "auto",
         min_draft_length: int = 8,
         mesh=None,
+        inner_unroll="scan",  # draft-model layer loop inside the fused
+        # round: "scan" (dyn-layer kernels, one trace — the op-count fix
+        # for the r3 hier dispatch floor) or True (legacy unrolled; bench
+        # --hier-unroll A/B)
     ):
         super().__init__(cfg, eng, params, attn_impl, mesh=mesh)
         assert not draft_cfg.apply_sparse
         self.min_draft_length = min_draft_length
+        self.inner_unroll = inner_unroll
         self.max_chain = min_draft_length + ecfg.tree_size
         # fused-round inner count: enough rounds that even all-accepts can
         # fill max_chain (min_draft_length=1 needs 2 rounds: 1 round's
@@ -408,6 +421,7 @@ class HierSpecEngine(Engine):
                 top_p=self.eng.top_p,
                 attn_impl=self.attn_impl,
                 sparse_select=self.sparse_engaged(),
+                inner_unroll=self.inner_unroll,
             )
         )
         import dataclasses as _dc
@@ -516,6 +530,7 @@ class HierSpecEngine(Engine):
                 top_p=self.eng.top_p,
                 attn_impl=self.attn_impl,
                 sparse_select=self.sparse_engaged(),
+                inner_unroll=self.inner_unroll,
             )
         )
         self.inner.estate = _dc.replace(self.inner.estate, kv=ekv)

@@ -79,7 +79,7 @@ def _expand_and_verify(
             base_cfg, params, rope, cache, tree_tokens_f, tree_pos_f,
             tree_mask_f, logits_mode="all", attn_impl=attn_impl,
             sparse_select=sparse_select, return_hidden=True, kv_span=kv_span,
-            unroll=True, defer_kv_write=True,
+            unroll=unroll, defer_kv_write=True,
         )
         if Sp != S:
             logits = logits[:S]

@@ -151,7 +151,9 @@ def attention_block_zerocopy(
     x: jnp.ndarray,  # (T, H) already normed
     positions: jnp.ndarray,
     cache,  # full KVCache/SparseKVCache pytree (stacked, donated)
-    li: int,  # static layer index
+    li,  # layer index: static int (unrolled decode) or traced scan counter
+         # (llama.forward unroll="scan" — the kernels take it via scalar
+         # prefetch; sparse_select requires a static li)
     rope_cos, rope_sin,
     tree_mask=None,
     window: int = 0,
@@ -200,8 +202,10 @@ def attention_block_zerocopy(
         attn_impl in ("flash", "auto")
         and (attn_impl == "flash" or jax.default_backend() == "tpu")
     )
+    dyn = not isinstance(li, int)
 
     if sparse_select:
+        assert not dyn, "sparse_select needs a static layer index"
         from ..ops.sparse import select_blocks, stage1_scores_auto
         from ..ops.sparse_flash import BLOCK, sparse_flash_mha
 
@@ -247,8 +251,9 @@ def attention_block_zerocopy(
 
             out_h, lse_h = flash_mha(
                 q, cache.k, cache.v, prior,
+                li if dyn else None,
                 causal=False, window=window, sink=sink, return_lse=True,
-                layer=li, span=span or None,
+                layer=None if dyn else li, span=span or None,
             )
         else:
             from ..ops.attention import mha_xla

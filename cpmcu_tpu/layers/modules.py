@@ -41,12 +41,16 @@ def add_rms_norm(x, residual, weight, eps: float):
 
 def linear(p: dict, x, layer=None, norm=None):
     """Dense or W4A16 linear. ``p`` is {'w': (in,out)[, 'b': (out,)]} or a
-    quantized pack {'q','s'} handled by ops.quant. With ``layer`` (static),
-    ``p`` holds stacked (L, ...) tensors read in place — the quant kernel
-    indexes them via its BlockSpec so no per-layer slice copy happens (the
-    zero-copy decode path). With ``norm=(weight, eps)``, ``x`` arrives
-    UN-normed and ``rms_norm(x)*weight`` is fused into the quant decode
-    kernel (applied as a separate op for dense weights)."""
+    quantized pack {'q','s'} handled by ops.quant. With ``layer`` (static
+    int OR traced scan counter), ``p`` holds stacked (L, ...) tensors read
+    in place — the quant kernel indexes them via its BlockSpec (static) or
+    scalar prefetch (traced) so no per-layer slice copy happens (the
+    zero-copy decode path). A traced layer on DENSE weights falls back to
+    a ``w[layer]`` slice copy — acceptable only for small drafters; quant
+    packs are the scan-over-layers fast path. With ``norm=(weight, eps)``,
+    ``x`` arrives UN-normed and ``rms_norm(x)*weight`` is fused into the
+    quant decode kernel (applied as a separate op for dense weights)."""
+    dyn = layer is not None and not isinstance(layer, int)
     if "q" in p:
         from ..ops.quant import quant_matmul
 
@@ -57,7 +61,7 @@ def linear(p: dict, x, layer=None, norm=None):
         K = x.shape[-1]
         N = p["w"].shape[-1]
         use_kernel = (
-            jax.default_backend() == "tpu" and x.ndim == 2
+            jax.default_backend() == "tpu" and x.ndim == 2 and not dyn
             and (norm is not None or layer is not None)
             and decode_supported(x.shape[0], K, N)
         )

@@ -212,8 +212,22 @@ def forward(
                                   # collect these layers' FFN sublayer
                                   # outputs (model.cuh:50-52,186-194) and
                                   # return them concatenated (T, len*H)
-    unroll: bool = False,  # unrolled layer loop: zero cache-copy per step
-                                  # (see below); bigger traces/compiles
+    unroll: bool = False,  # layer-loop strategy:
+                                  # False — lax.scan with the cache as scan
+                                  #   xs/ys (moves span-sized cache bytes
+                                  #   per step; short-context engines);
+                                  # True — unrolled loop, zero cache-copy
+                                  #   (static-layer kernels; bigger traces);
+                                  # "scan" — lax.scan with DYN-LAYER kernels
+                                  #   (scalar-prefetch layer index): zero
+                                  #   cache/weight copies AND one trace for
+                                  #   all layers. Built for the hier inner
+                                  #   drafter, whose ~30 ops/layer x 24
+                                  #   layers x ~5 forwards/round dominated
+                                  #   the round (VERDICT r3 task 5). Quant
+                                  #   packs only for the zero-copy property
+                                  #   (dense weights fall back to a slice
+                                  #   copy); no taps/sparse_select.
     defer_kv_write: bool = False,  # (unroll only) do NOT write the T new
                                   # rows into the cache; return them as an
                                   # extra (L, KVH, T, D) pair instead. Spec
@@ -291,7 +305,56 @@ def forward(
     idxs = jnp.arange(cfg.num_layers, dtype=jnp.int32)
     span = kv_span if kv_span and kv_span < cache.max_length else None
 
-    if unroll:
+    if unroll == "scan":
+        # scan-over-layers, zero-copy: the quant/flash kernels take the
+        # scan counter via scalar prefetch and index the stacked donated
+        # weight/cache buffers in place. The per-layer KV write is a tiny
+        # (1, KVH, T, D) dynamic_update_slice on the scan-carried cache —
+        # the classic jax decode pattern; XLA keeps the donated carry in
+        # place (unlike the full-cache xs/ys stacking of the scan path
+        # below, or the per-layer weight slice copies it would need).
+        from ..layers.attention import attention_block_zerocopy
+
+        assert not tap_layers and not sparse_select
+        lp = params["layers"]
+        scale_res = jnp.asarray(cfg.scale_residual, h.dtype)
+        start = jnp.asarray(cache.length, jnp.int32)
+
+        def scan_body(carry, li):
+            hh, ck, cv = carry
+            if is_sparse:
+                cc = dataclasses.replace(cache, k=ck, v=cv)
+            else:
+                cc = KVCache(ck, cv, cache.length)
+            attn_out, k_li, v_li = attention_block_zerocopy(
+                cfg, lp, hh, positions, cc, li,
+                rope_cos, rope_sin, tree_mask, window, sink, attn_impl,
+                span=span or 0,
+                norm=(lp["attn_norm"][li], cfg.rms_norm_eps),
+            )
+            hh = hh + attn_out * scale_res
+            ffn_out = gated_ffn(
+                lp, hh, layer=li, norm=(lp["ffn_norm"][li], cfg.rms_norm_eps)
+            )
+            hh = hh + ffn_out * scale_res
+            if defer_kv_write:
+                return (hh, ck, cv), (k_li, v_li)
+            kl = jnp.swapaxes(k_li, 0, 1)[None]  # (1, KVH, T, D)
+            vl = jnp.swapaxes(v_li, 0, 1)[None]
+            ck = jax.lax.dynamic_update_slice(
+                ck, kl.astype(ck.dtype), (li, 0, start, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, vl.astype(cv.dtype), (li, 0, start, 0))
+            return (hh, ck, cv), None
+
+        (h, new_k, new_v), ys = jax.lax.scan(
+            scan_body, (h, cache.k, cache.v), idxs)
+        taps = taps0
+        if defer_kv_write:
+            ks_y, vs_y = ys  # (L, T, KVH, D)
+            kv_pending = (ks_y.transpose(0, 2, 1, 3),
+                          vs_y.transpose(0, 2, 1, 3))
+    elif unroll:
         # zero-copy decode: per-layer history kernels read the stacked
         # donated cache IN PLACE (static layer BlockSpec index); the T new
         # rows attend via an LSE-merged XLA block; all layers' new rows

@@ -181,6 +181,10 @@ def flash_mha(
     k_cache: jax.Array,  # (KVH, S, D) — or (L, KVH, S, D) with ``layer``
     v_cache: jax.Array,  # same
     prior_len: jax.Array,  # scalar int32
+    layer_dyn: Optional[jax.Array] = None,  # TRACED layer index into a
+                                  # stacked 4D cache (scalar prefetch) — the
+                                  # scan-over-layers forward's counterpart
+                                  # of the static ``layer`` path
     *,
     causal: bool = True,
     window: int = 0,
@@ -242,28 +246,32 @@ def flash_mha(
     limit = prior + (T if causal else 0)
 
     grid = (KVH, nq, nb_max)
+    assert layer is None or layer_dyn is None
 
-    def q_index(h, qi, b, limit_ref, prior_ref):
+    def q_index(h, qi, b, limit_ref, prior_ref, *_):
         return (h, qi, 0)
 
-    if layer is None:
+    def _nb_hi(qi, b, limit_ref, prior_ref):
+        if causal:
+            hi = jnp.minimum(limit_ref[0], prior_ref[0] + (qi + 1) * bqt)
+        else:
+            hi = limit_ref[0]
+        nb = jnp.maximum(pl.cdiv(hi, bk), 1)
+        return jnp.minimum(b, nb - 1)
+
+    if layer_dyn is not None:
+        def kv_index(h, qi, b, limit_ref, prior_ref, layer_ref):
+            return (layer_ref[0], h, _nb_hi(qi, b, limit_ref, prior_ref), 0)
+
+        kv_block = (1, 1, bk, D)
+    elif layer is None:
         def kv_index(h, qi, b, limit_ref, prior_ref):
-            if causal:
-                hi = jnp.minimum(limit_ref[0], prior_ref[0] + (qi + 1) * bqt)
-            else:
-                hi = limit_ref[0]
-            nb = jnp.maximum(pl.cdiv(hi, bk), 1)
-            return (h, jnp.minimum(b, nb - 1), 0)
+            return (h, _nb_hi(qi, b, limit_ref, prior_ref), 0)
 
         kv_block = (1, bk, D)
     else:
         def kv_index(h, qi, b, limit_ref, prior_ref):
-            if causal:
-                hi = jnp.minimum(limit_ref[0], prior_ref[0] + (qi + 1) * bqt)
-            else:
-                hi = limit_ref[0]
-            nb = jnp.maximum(pl.cdiv(hi, bk), 1)
-            return (layer, h, jnp.minimum(b, nb - 1), 0)
+            return (layer, h, _nb_hi(qi, b, limit_ref, prior_ref), 0)
 
         kv_block = (1, 1, bk, D)
 
@@ -281,10 +289,22 @@ def flash_mha(
         lse_spec = pl.BlockSpec((1, 8, 128), lambda h, qi, b, *_: (0, 0, 0))
         lse_shape = jax.ShapeDtypeStruct((1, 8, 128), jnp.float32)
 
+    if layer_dyn is not None:
+        # the layer index rides as a third prefetch scalar; the kernel body
+        # never reads it (only the kv index maps do)
+        n_scalars = 3
+        scalar_ops = (limit, prior,
+                      jnp.asarray(layer_dyn, jnp.int32).reshape(1))
+        body = lambda lim, pri, lay, *rest: kernel(lim, pri, *rest)
+    else:
+        n_scalars = 2
+        scalar_ops = (limit, prior)
+        body = kernel
+
     out, lse = pl.pallas_call(
-        kernel,
+        body,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=n_scalars,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, rows, D), q_index),
@@ -306,7 +326,7 @@ def flash_mha(
             lse_shape,
         ],
         interpret=interpret,
-    )(limit, prior, qg, k_cache, v_cache)
+    )(*scalar_ops, qg, k_cache, v_cache)
 
     # (KVH, nq*G*bqt, D) -> (T, H, D)
     out = (

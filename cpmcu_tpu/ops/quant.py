@@ -410,6 +410,12 @@ def quant_matmul_pallas(
     s: jax.Array,  # (K/128, N) f32 — (L, K/128, N) with ``layer``
     norm_w: Optional[jax.Array] = None,  # (K,): fuse rms_norm(x)*norm_w into
     # the decode kernel (separate norm ops are dispatch-latency-bound)
+    layer_dyn: Optional[jax.Array] = None,  # TRACED layer index (scalar
+    # int32) into stacked weights, via scalar prefetch: the lax.scan-over-
+    # layers forward (llama.forward unroll="scan") reads stacked weights in
+    # place with the scan counter as the index — same zero-copy property as
+    # the static ``layer`` path but one trace for all layers (the hier
+    # inner drafter's per-op dispatch floor; VERDICT r3 task 5).
     *,
     norm_eps: float = 1e-6,
     out_dtype=None,
@@ -429,6 +435,7 @@ def quant_matmul_pallas(
     M, K = x.shape
     K8, N = q.shape[-2:]
     assert K == K8 * 8 and K % KCHUNK == 0
+    assert layer is None or layer_dyn is None
     out_dtype = out_dtype or x.dtype
 
     bm = min(bm, _round_up(M, 8))
@@ -451,20 +458,22 @@ def quant_matmul_pallas(
             bn = next((b for b in (1024, 512) if N % b == 0), 512)
     bn = min(bn, _round_up(N, 128))
 
-    if layer is not None and (Mp > 64 or N % bn != 0):
+    stacked = layer is not None or layer_dyn is not None
+    if stacked and (Mp > 64 or N % bn != 0):
         if Mp <= 64:
             while N % bn:  # stacked weights cannot be padded without a copy
                 bn //= 2
         if Mp > 64 or bn < 128:
+            li = layer if layer is not None else layer_dyn
             return quant_matmul_pallas(
-                x, q[layer], s[layer], norm_w, norm_eps=norm_eps,
+                x, q[li], s[li], norm_w, norm_eps=norm_eps,
                 out_dtype=out_dtype, bm=bm, interpret=interpret,
             )
 
     Np = _round_up(N, bn)
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
-    if Np != N and layer is None:
+    if Np != N and not stacked:
         q = jnp.pad(q, ((0, 0), (0, Np - N)))
         s = jnp.pad(s, ((0, 0), (0, Np - N)))
 
@@ -473,7 +482,12 @@ def quant_matmul_pallas(
 
     if Mp <= 64:
         nk = K // (KCHUNK * ku)
-        if layer is None:
+        if layer_dyn is not None:
+            q_spec = pl.BlockSpec((1, 128 * ku, bn),
+                                  lambda m, n, k, li: (li[0], k, n))
+            s_spec = pl.BlockSpec((1, 8 * ku, bn),
+                                  lambda m, n, k, li: (li[0], k, n))
+        elif layer is None:
             q_spec = pl.BlockSpec((128 * ku, bn), lambda m, n, k: (k, n))
             s_spec = pl.BlockSpec((8 * ku, bn), lambda m, n, k: (k, n))
         else:
@@ -481,53 +495,75 @@ def quant_matmul_pallas(
                                   lambda m, n, k: (layer, k, n))
             s_spec = pl.BlockSpec((1, 8 * ku, bn),
                                   lambda m, n, k: (layer, k, n))
-        # decode shapes: interleaved dequant+dot, k innermost
-        if norm_w is not None:
-            out = pl.pallas_call(
-                functools.partial(
-                    _qmm_kernel_small_norm, nk=nk, ku=ku, out_dtype=out_dtype,
-                    eps=norm_eps, interpret=interpret,
-                ),
-                grid=(nm, nn, nk),
-                in_specs=[
-                    pl.BlockSpec((bm, K), lambda m, n, k: (m, 0)),
-                    q_spec,
-                    s_spec,
-                    pl.BlockSpec((1, K), lambda m, n, k: (0, 0)),
-                ],
-                out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
+
+        def call(kernel, in_specs, scratch_shapes, operands):
+            """Wrap the decode pallas_call: with ``layer_dyn`` the layer
+            index rides scalar prefetch (the index maps above take it as a
+            trailing ref) and the kernel ignores the extra leading ref."""
+            kw = dict(
                 out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
-                scratch_shapes=[
-                    pltpu.VMEM((bm, bn), jnp.float32),
-                    pltpu.VMEM((nk * ku, bm, KCHUNK), x.dtype),
-                ],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024
                 ),
                 interpret=interpret,
-            )(x, q, s, norm_w.reshape(1, K))
+            )
+            out_spec = pl.BlockSpec((bm, bn), lambda m, n, k, *_: (m, n))
+            if layer_dyn is not None:
+                out = pl.pallas_call(
+                    lambda li_ref, *a: kernel(*a),
+                    grid_spec=pltpu.PrefetchScalarGridSpec(
+                        num_scalar_prefetch=1,
+                        grid=(nm, nn, nk),
+                        in_specs=in_specs,
+                        out_specs=out_spec,
+                        scratch_shapes=scratch_shapes,
+                    ),
+                    **kw,
+                )(jnp.asarray(layer_dyn, jnp.int32).reshape(1), *operands)
+            else:
+                out = pl.pallas_call(
+                    kernel,
+                    grid=(nm, nn, nk),
+                    in_specs=in_specs,
+                    out_specs=out_spec,
+                    scratch_shapes=scratch_shapes,
+                    **kw,
+                )(*operands)
             return out[:M, :N]
-        out = pl.pallas_call(
+
+        # decode shapes: interleaved dequant+dot, k innermost
+        if norm_w is not None:
+            return call(
+                functools.partial(
+                    _qmm_kernel_small_norm, nk=nk, ku=ku, out_dtype=out_dtype,
+                    eps=norm_eps, interpret=interpret,
+                ),
+                [
+                    pl.BlockSpec((bm, K), lambda m, n, k, *_: (m, 0)),
+                    q_spec,
+                    s_spec,
+                    pl.BlockSpec((1, K), lambda m, n, k, *_: (0, 0)),
+                ],
+                [
+                    pltpu.VMEM((bm, bn), jnp.float32),
+                    pltpu.VMEM((nk * ku, bm, KCHUNK), x.dtype),
+                ],
+                (x, q, s, norm_w.reshape(1, K)),
+            )
+        return call(
             functools.partial(
                 _qmm_kernel_small, nk=nk, ku=ku, out_dtype=out_dtype,
                 interpret=interpret,
             ),
-            grid=(nm, nn, nk),
-            in_specs=[
-                pl.BlockSpec((bm, KCHUNK * ku), lambda m, n, k: (m, k)),
+            [
+                pl.BlockSpec((bm, KCHUNK * ku), lambda m, n, k, *_: (m, k)),
                 q_spec,
                 s_spec,
             ],
-            out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
-            out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
-            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
-            ),
-            interpret=interpret,
-        )(x, q, s)
-        return out[:M, :N]
-    assert layer is None
+            [pltpu.VMEM((bm, bn), jnp.float32)],
+            (x, q, s),
+        )
+    assert layer is None and layer_dyn is None
 
     out = pl.pallas_call(
         functools.partial(
@@ -566,16 +602,21 @@ def quant_matmul(
 
     ``x`` may be (..., K); output (..., N) in x.dtype. With ``layer``, q/s
     are stacked (L, ...) and the kernel reads them in place (no per-layer
-    slice copy — see quant_matmul_pallas). With ``norm=(weight, eps)``,
-    ``rms_norm(x) * weight`` is fused into the kernel (decode shapes).
+    slice copy — see quant_matmul_pallas); a TRACED ``layer`` (the
+    scan-over-layers counter) routes to the scalar-prefetch variant. With
+    ``norm=(weight, eps)``, ``rms_norm(x) * weight`` is fused into the
+    kernel (decode shapes).
     """
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
     K8, N = q.shape[-2:]
+    static_layer = layer if (layer is None or isinstance(layer, int)) else None
+    dyn_layer = layer if static_layer is None and layer is not None else None
     if K == K8 * 8 and K % KCHUNK == 0 and jax.default_backend() == "tpu":
         nw, eps = norm if norm is not None else (None, 1e-6)
-        out = quant_matmul_pallas(x2, q, s, nw, norm_eps=eps, layer=layer)
+        out = quant_matmul_pallas(x2, q, s, nw, dyn_layer, norm_eps=eps,
+                                  layer=static_layer)
     else:
         if norm is not None:
             xf = x2.astype(jnp.float32)

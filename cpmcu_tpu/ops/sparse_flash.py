@@ -167,13 +167,16 @@ def _sparse_kernel(
     limit_ref,  # (1,) int32
     # inputs
     q_ref,  # (1, 1, rows, D)
-    bvis_ref,  # (1, 1, BT, pair) int32 — bit sb of word [t, p] = block
+    bvis_ref,  # (1, 1, 1, BT, pair) int32 — bit sb of word [t, p] = block
                # tile_p*sub+sb visible to query t, where tile_p is the KV
                # tile this step's sub-tile p maps. Pre-gathered by the XLA
                # prologue via the load table: the kernel reads its column
                # directly instead of scanning an NBK-wide row per step
                # (that scan was ~0.2us/step at prefill and would grow 4x
-               # at bk=128 — larger than the whole per-step floor).
+               # at bk=128 — larger than the whole per-step floor). The
+               # grid-step axis is its own (blocked-by-1) dim so the
+               # block's LAST TWO dims are the full (BT, pair) extents —
+               # Mosaic requires last-dim blocks of 128k or the full dim.
     pos_ref,  # (1, 1, BT) int32
     # then ``pair`` interleaved (k_ref, v_ref) pairs, each (1, BK, D):
     # sub-tile p maps KV tile load_ref[base + p] — independent scattered
@@ -221,7 +224,7 @@ def _sparse_kernel(
     def _compute():
         q = q_ref[0, 0]
         qpos = pos_ref[0, 0][:, None]  # (BT, 1)
-        bv = bvis_ref[0, 0]  # (BT, pair)
+        bv = bvis_ref[0, 0, 0]  # (BT, pair)
         s_parts = []
         v_parts = []
         for p in range(pair):
@@ -239,7 +242,8 @@ def _sparse_kernel(
             # mask word (one shift+and); exact causality/limit stay
             # per-key. Padded / clamped sub-tiles (visit 0) mask out.
             j = tile * bk + jax.lax.broadcasted_iota(jnp.int32, (bt, bk), 1)
-            word = jax.lax.dynamic_slice_in_dim(bv, p, 1, axis=1)  # (BT, 1)
+            # static python slice — Mosaic has no dynamic_slice lowering
+            word = bv[:, p:p + 1]  # (BT, 1)
             sb = jax.lax.broadcasted_iota(jnp.int32, (bt, bk), 1) // BLOCK
             blockok = jax.lax.shift_right_logical(word, sb) & 1
             ok = (j <= qpos) & (j < limit) & (blockok == 1)
@@ -384,10 +388,17 @@ def sparse_flash_mha(
         ngrid += padn
     nsteps = ngrid // pair
     # pre-gather the per-(token, sub-tile) visibility words by the load
-    # table -> (KVH, nq, bt, ngrid); clamped/padded entries carry the
-    # clamped tile's word, masked in-kernel by the visit flag
+    # table -> (KVH, nq, bt, ngrid), then split the grid axis out to
+    # (KVH, nq, nsteps, bt, pair) so each step's block is the full
+    # (bt, pair) trailing extent (Mosaic last-two-dims rule). Clamped /
+    # padded entries carry the clamped tile's word, masked in-kernel by
+    # the visit flag.
     bvis_grid = jnp.take_along_axis(blockvis, load_idx[:, :, None, :],
                                     axis=-1)
+    bvis_grid = (
+        bvis_grid.reshape(KVH, nq, bt, nsteps, pair)
+        .transpose(0, 1, 3, 2, 4)
+    )
     Sp = nbk * bk
     if Sp != S:
         k_cache = jnp.pad(k_cache, ((0, 0), (0, Sp - S), (0, 0)))
@@ -445,8 +456,8 @@ def sparse_flash_mha(
             grid=(KVH * gs, nq, nsteps),
             in_specs=[
                 pl.BlockSpec((1, 1, rows, D), lambda h, qi, b, *_: (h, qi, 0, 0)),
-                pl.BlockSpec((1, 1, bt, pair),
-                             lambda h, qi, b, *_: (h // gs, qi, 0, b)),
+                pl.BlockSpec((1, 1, 1, bt, pair),
+                             lambda h, qi, b, *_: (h // gs, qi, b, 0, 0)),
                 pl.BlockSpec((1, 1, bt), lambda h, qi, b, *_: (qi, 0, 0)),
                 *kv_specs,
             ],
@@ -627,11 +638,16 @@ def sparse_flash_mha_slots(
         positions[:, None], ((0, 0), (0, 0), (0, bt - T))
     )  # (B, 1, bt); padded rows mask to empty (pos 0 < any visited j)
     # pre-gather the per-(token, sub-tile) visibility words by the load
-    # table (clamped/padded entries masked in-kernel by the visit flag)
+    # table (clamped/padded entries masked in-kernel by the visit flag);
+    # grid-step axis split out so each step's block is the full trailing
+    # (bt, pair) extent (Mosaic last-two-dims rule)
     bvis_grid = jnp.take_along_axis(
         blockvis, load_idx[:, :, :, None, :], axis=-1
     )  # (B, KVH, 1, bt, ngrid)
-    bvis = bvis_grid.reshape(B * KVH, 1, bt, ngrid)
+    bvis = (
+        bvis_grid.reshape(B * KVH, 1, bt, nsteps, pair)
+        .transpose(0, 1, 3, 2, 4)
+    )  # (B*KVH, 1, nsteps, bt, pair)
 
     def make_kv_index(p):
         def kv_index(i, qi, b, load_ref, visit_ref, limit_ref):
@@ -658,8 +674,8 @@ def sparse_flash_mha_slots(
             grid=(B * KVH, 1, nsteps),
             in_specs=[
                 pl.BlockSpec((1, 1, rows, D), lambda i, qi, b, *_: (i, 0, 0, 0)),
-                pl.BlockSpec((1, 1, bt, pair),
-                             lambda i, qi, b, *_: (i, 0, 0, b)),
+                pl.BlockSpec((1, 1, 1, bt, pair),
+                             lambda i, qi, b, *_: (i, 0, b, 0, 0)),
                 pl.BlockSpec((1, 1, bt), lambda i, qi, b, *_: (i // KVH, 0, 0)),
                 *kv_specs,
             ],

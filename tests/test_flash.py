@@ -144,3 +144,34 @@ def test_flash_slots_matches_per_slot_xla():
         np.testing.assert_allclose(
             np.asarray(got[b]), np.asarray(ref[0]), rtol=2e-5, atol=2e-5
         )
+
+
+def test_flash_dyn_layer_matches_static():
+    """Traced layer index (3rd prefetch scalar) == static layer BlockSpec,
+    incl. under lax.scan (llama.forward unroll="scan")."""
+    rng = np.random.default_rng(3)
+    L, KVH, S, D, H, T = 3, 2, 1024, 128, 4, 2
+    kc = jnp.asarray(rng.standard_normal((L, KVH, S, D)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((L, KVH, S, D)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((T, H, D)), jnp.float32)
+    prior = jnp.int32(200)
+    for li in range(L):
+        a = flash_mha(q, kc, vc, prior, causal=False, return_lse=True,
+                      layer=li, interpret=True)
+        b = flash_mha(q, kc, vc, prior, jnp.int32(li), causal=False,
+                      return_lse=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+    def body(c, li):
+        o = flash_mha(q, kc, vc, prior, li, causal=True, interpret=True)
+        return c + o, None
+
+    tot, _ = jax.lax.scan(body, jnp.zeros((T, H, D), jnp.float32),
+                          jnp.arange(L, dtype=jnp.int32))
+    ref = sum(
+        np.asarray(flash_mha(q, kc, vc, prior, causal=True, layer=i,
+                             interpret=True))
+        for i in range(L)
+    )
+    np.testing.assert_allclose(np.asarray(tot), ref, rtol=1e-5, atol=1e-5)

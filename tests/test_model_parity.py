@@ -1,6 +1,8 @@
 """Numerics parity vs HF transformers (the oracle the reference never had as
 unit tests — SURVEY.md §4 implication). Tiny random models, fp32, CPU."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -161,3 +163,61 @@ def test_minicpm_scale_knobs():
         m.lm_head.weight *= dim_model_base / cfg.hidden_size
     ref = _hf_logits(model, ids)
     np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_forward_scan_layers_matches_unroll():
+    """llama.forward(unroll="scan") — lax.scan over layers with dyn-layer
+    kernels (scalar-prefetch layer index) — matches the unrolled path:
+    exact on f32 dense; KV writes exact + logits close (bf16 reassociation)
+    on a quantized model, with and without defer_kv_write."""
+    import jax
+
+    from cpmcu_tpu.cache.kv import KVCache
+    from cpmcu_tpu.models import llama
+    from cpmcu_tpu.models.quantize import quantize_params
+
+    def run(cfg, params, mode, defer):
+        rope = llama.make_rope(cfg, 512)
+        L = cfg.num_layers
+        k = jax.random.normal(jax.random.PRNGKey(1),
+                              (L, cfg.num_kv_heads, 512, cfg.head_dim),
+                              cfg.jnp_dtype)
+        v = jax.random.normal(jax.random.PRNGKey(2), k.shape, cfg.jnp_dtype)
+        cache = KVCache(k, v, jnp.int32(37))
+        toks = jnp.asarray([5, 9, 11], jnp.int32)
+        pos = jnp.int32(37) + jnp.arange(3, dtype=jnp.int32)
+        out = llama.forward(cfg, params, rope, cache, toks, pos,
+                            logits_mode="all", attn_impl="auto",
+                            unroll=mode, defer_kv_write=defer)
+        if defer:
+            lo, nc, (kp, vp) = out
+            return np.asarray(lo), np.asarray(kp, np.float32), \
+                np.asarray(vp, np.float32)
+        lo, nc = out
+        return np.asarray(lo), np.asarray(nc.k, np.float32), \
+            np.asarray(nc.v, np.float32)
+
+    # f32 dense: near-exact
+    cfg = ModelConfig(num_layers=3, hidden_size=1024, intermediate_size=2048,
+                      num_heads=8, num_kv_heads=2, head_dim=128,
+                      vocab_size=128, dtype="float32")
+    params = llama.fuse_projections(
+        llama.init_params(cfg, jax.random.PRNGKey(0)))
+    for defer in (False, True):
+        a = run(cfg, params, True, defer)
+        b = run(cfg, params, "scan", defer)
+        np.testing.assert_allclose(a[0], b[0], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(a[1], b[1], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(a[2], b[2], rtol=1e-5, atol=1e-5)
+
+    # bf16 quant: KV writes exact; logits within bf16 reassociation noise
+    qcfg = dataclasses.replace(cfg, dtype="bfloat16", quant=True)
+    qparams = llama.fuse_projections(quantize_params(
+        llama.init_params(dataclasses.replace(cfg, dtype="bfloat16"),
+                          jax.random.PRNGKey(0)), qcfg))
+    for defer in (False, True):
+        a = run(qcfg, qparams, True, defer)
+        b = run(qcfg, qparams, "scan", defer)
+        np.testing.assert_allclose(a[0], b[0], rtol=0.05, atol=0.03)
+        np.testing.assert_allclose(a[1], b[1], rtol=0.02, atol=0.02)
+        np.testing.assert_allclose(a[2], b[2], rtol=0.02, atol=0.02)

@@ -247,3 +247,40 @@ def test_quant_matmul_ku_unroll_interpret(ku):
                                               dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(outn), np.asarray(refn),
                                rtol=1e-3, atol=1e-2)
+
+
+def test_quant_matmul_dyn_layer_matches_static():
+    """Traced layer index (scalar prefetch; the scan-over-layers path) is
+    bit-identical to the static layer BlockSpec path — incl. under lax.scan
+    with the scan counter as the index (llama.forward unroll="scan")."""
+    import jax
+
+    import cpmcu_tpu.ops.quant as Q
+
+    rng = np.random.default_rng(11)
+    L, M, K, N = 3, 8, 2048, 1024
+    qs = jnp.asarray(rng.integers(0, 2**31, (L, K // 8, N)), jnp.int32)
+    ss = jnp.asarray(rng.standard_normal((L, K // 128, N)) * 0.1, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    nw = jnp.asarray(rng.uniform(0.5, 1.5, (K,)), jnp.bfloat16)
+
+    for li in range(L):
+        for norm in (None, nw):
+            a = quant_matmul_pallas(x, qs, ss, norm, layer=li, interpret=True)
+            b = quant_matmul_pallas(x, qs, ss, norm, jnp.int32(li),
+                                    interpret=True)
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+    def body(carry, li):
+        y = quant_matmul_pallas(x, qs, ss, nw, li, interpret=True)
+        return carry + y.astype(jnp.float32), None
+
+    tot, _ = jax.lax.scan(body, jnp.zeros((M, N), jnp.float32),
+                          jnp.arange(L, dtype=jnp.int32))
+    ref = sum(
+        np.asarray(quant_matmul_pallas(x, qs, ss, nw, layer=i,
+                                       interpret=True), np.float32)
+        for i in range(L)
+    )
+    np.testing.assert_allclose(np.asarray(tot), ref, rtol=1e-6)
