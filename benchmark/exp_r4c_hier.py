@@ -5,7 +5,8 @@ Measures, in one process: (a) engine.generate tok/s with segment/round call
 counters, (b) fused hier_segment wall ms/round (3 reps, post-warmup),
 (c) a device-op trace of one segment.
 
-Run: timeout 2400 python benchmark/exp_r4c_hier.py [bf16|quant]
+Run: timeout 2400 python benchmark/exp_r4c_hier.py [bf16|quant] [scan|unroll]
+(second arg = inner-drafter layer-loop mode; default scan)
 """
 
 import dataclasses
@@ -24,6 +25,7 @@ import jax.numpy as jnp  # noqa: F401
 from cpmcu_tpu.core.config import MINICPM4_8B, EngineConfig
 
 DRAFT = sys.argv[1] if len(sys.argv) > 1 else "quant"
+INNER = "scan" if (len(sys.argv) < 3 or sys.argv[2] == "scan") else True
 PROMPT = 2048
 SEG = 12
 
@@ -57,7 +59,7 @@ def main():
     )
     eparams = init_eagle_params(ecfg, jax.random.PRNGKey(2))
     engine = HierSpecEngine(cfg, draft_cfg, ecfg, eng, params, dparams,
-                            eparams, min_draft_length=8)
+                            eparams, min_draft_length=8, inner_unroll=INNER)
 
     # instrument: count fused-segment vs single-round calls
     counts = {"seg": 0, "single": 0}
@@ -83,7 +85,7 @@ def main():
     toks, decode_t, _ = engine.generate(ids, generation_length=193)
     rounds = len(engine.accept_lengths)
     print(json.dumps({
-        "mode": f"generate[{DRAFT}]", "tok_s": round((len(toks) - 1) / decode_t, 2),
+        "mode": f"generate[{DRAFT},{'scan' if INNER == 'scan' else 'unroll'}]", "tok_s": round((len(toks) - 1) / decode_t, 2),
         "ms_per_round": round(1e3 * decode_t / max(rounds, 1), 2),
         "accept": round(engine.mean_accept_length(), 3),
         "inner_accept": round(engine.mean_inner_accept_length(), 3),

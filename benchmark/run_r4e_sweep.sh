@@ -33,11 +33,17 @@ for i in $(seq 1440); do
 done
 sleep 15
 
-# hier reconciliation: one process, three measurement styles + trace
-echo "=== hier reconcile ($(date +%H:%M:%S))" >&2
-timeout 2400 python benchmark/exp_r4c_hier.py quant \
-    > benchmark/results/r4e_hier_profile.log 2>&1
-echo "{\"mode\": \"hier_profile\", \"result\": \"rc=$?\"}" >> "$OUT"
+# hier reconciliation: one process, three measurement styles + trace —
+# once per inner-drafter layer-loop mode (scan = the r4 dyn-layer fix,
+# unroll = the r3 baseline the 9.5/17.6/207 spread was measured on)
+echo "=== hier reconcile scan ($(date +%H:%M:%S))" >&2
+timeout 2400 python benchmark/exp_r4c_hier.py quant scan \
+    > benchmark/results/r4e_hier_profile_scan.log 2>&1
+echo "{\"mode\": \"hier_profile_scan\", \"result\": \"rc=$?\"}" >> "$OUT"
+echo "=== hier reconcile unroll ($(date +%H:%M:%S))" >&2
+timeout 2400 python benchmark/exp_r4c_hier.py quant unroll \
+    > benchmark/results/r4e_hier_profile_unroll.log 2>&1
+echo "{\"mode\": \"hier_profile_unroll\", \"result\": \"rc=$?\"}" >> "$OUT"
 
 # batched-spec decomposition (plain anchor + spec + per-round + trace)
 echo "=== batchspec profile ($(date +%H:%M:%S))" >&2
