@@ -7,7 +7,8 @@ checkpoint (VERDICT r3 tasks 1+4).
      measured accept + ms/round + device-op trace of one fused segment.
   C. quant-draft-head A/B at the same point (ms/round only).
 
-Run: timeout 4000 python benchmark/exp_r4a_profile.py [prompt_len]
+Run: timeout 4000 python benchmark/exp_r4a_profile.py [prompt_len] [ABC]
+(second arg selects sections, e.g. "B" to re-trace only the decode round)
 """
 
 import dataclasses
@@ -27,6 +28,7 @@ import jax.numpy as jnp
 from cpmcu_tpu.core.config import MINICPM4_8B, EngineConfig
 
 PROMPT = int(sys.argv[1]) if len(sys.argv) > 1 else 96 * 1024
+SECTIONS = sys.argv[2].upper() if len(sys.argv) > 2 else "ABC"
 SEG = 12  # the bench headline's spec_segment_size
 NOISE = 0.35
 
@@ -51,6 +53,8 @@ def main():
     # ---------------- A: sparse prefill decomposition ----------------
     section("A: realistic sparse prefill")
     try:
+        if "A" not in SECTIONS:
+            raise RuntimeError("skipped")
         from cpmcu_tpu.engine.engine import Engine, chunk_width
 
         eng = EngineConfig(chunk_length=2048, max_total_length=PROMPT + 4096)
@@ -109,6 +113,8 @@ def main():
     # ---------------- B: full-stack decode round ----------------
     section("B: full-stack decode (sparse 96K + eagle2 realistic)")
     try:
+        if "B" not in SECTIONS:
+            raise RuntimeError("skipped")
         from cpmcu_tpu.engine.spec_engine import SpecEngine
         from cpmcu_tpu.models.realistic import init_eagle_params_realistic
         from cpmcu_tpu.spec.eagle import EagleConfig
@@ -164,6 +170,8 @@ def main():
     # ---------------- C: quant draft head A/B ----------------
     section("C: quant-draft-head A/B (ms/round at 96K)")
     try:
+        if "C" not in SECTIONS:
+            raise RuntimeError("skipped")
         eparams = init_eagle_params_realistic(ecfg, cfg, seed=0,
                                               drafter_noise=NOISE,
                                               quant_head=True)

@@ -33,6 +33,15 @@ for i in $(seq 1440); do
 done
 sleep 15
 
+# REGRESSION TRACE first: the 96K full-stack round went 24 ms (r3b) ->
+# ~32 ms (r4b + r4d pair rows) somewhere in cce9043/c107a58; re-trace
+# section B of the r4a profile and diff its TOP OPS against
+# r4a_profile.log (same prompt, same noise drafter, same accept)
+echo "=== r4a-B regression trace ($(date +%H:%M:%S))" >&2
+timeout 2400 python benchmark/exp_r4a_profile.py 98304 B \
+    > benchmark/results/r4g_decode_trace.log 2>&1
+echo "{\"mode\": \"regression_trace\", \"result\": \"rc=$?\"}" >> "$OUT"
+
 # hier reconciliation: one process, three measurement styles + trace —
 # once per inner-drafter layer-loop mode (scan = the r4 dyn-layer fix,
 # unroll = the r3 baseline the 9.5/17.6/207 spread was measured on)

@@ -103,6 +103,17 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
+    # sliding window without sink: grid step b maps block lo_blk + b, so
+    # the (static-size) grid covers only ~(window+bqt)/bk blocks instead of
+    # the whole capacity. The EAGLE drafter (window=1024) at 96K otherwise
+    # walked 192 mostly-masked steps per call — ~0.9 ms/round of the
+    # full-stack decode (r4a trace); the caller shrinks nb_max to match.
+    if window > 0 and sink == 0:
+        lo_blk = jnp.maximum(prior + qi * bqt - (window - 1), 0) // bk
+    else:
+        lo_blk = 0
+    blk = b + lo_blk
+
     # which kv blocks can this q tile see at all?
     if causal:
         hi = jnp.minimum(limit, prior + (qi + 1) * bqt)  # exclusive
@@ -114,12 +125,18 @@ def _flash_kernel(
     # per-entry mask construction (iota+compares+select are ~40% of the
     # kernel's VPU work, which is on par with its MXU work at prefill)
     lo = prior + qi * bqt if causal else limit
-    if window > 0:
+    if window > 0 and sink == 0:
+        # also require every key inside the window of the LAST query row
+        full = (
+            ((blk + 1) * bk <= lo) & ((blk + 1) * bk <= limit)
+            & (blk * bk >= prior + (qi + 1) * bqt - window)
+        )
+    elif window > 0:
         full = jnp.bool_(False)
     else:
-        full = ((b + 1) * bk <= lo) & ((b + 1) * bk <= limit)
+        full = ((blk + 1) * bk <= lo) & ((blk + 1) * bk <= limit)
 
-    @pl.when(b < nb)
+    @pl.when(blk < nb)
     def _compute():
         q = q_ref[0]
         k = k_ref[...].reshape(k_ref.shape[-2], k_ref.shape[-1])
@@ -131,7 +148,8 @@ def _flash_kernel(
             # absolute query token index per row: rows are (g, t) ordered
             row_t = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 0) % bqt
             q_pos = prior + qi * bqt + row_t  # (rows, bk)
-            key_j = b * bk + jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 1)
+            key_j = blk * bk + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, bk), 1)
             mask = key_j < hi
             if causal:
                 mask &= key_j <= q_pos
@@ -228,6 +246,10 @@ def flash_mha(
     bk = min(bk, S)
     nq = pl.cdiv(T, bqt)
     nb_max = pl.cdiv(min(span, S) if span else S, bk)
+    if window > 0 and sink == 0:
+        # the kernel offsets grid step b by the window's first block, so
+        # only ~(window+bqt)/bk steps are ever needed (see _flash_kernel)
+        nb_max = min(nb_max, pl.cdiv(window + bqt, bk) + 1)
     rows = G * bqt
 
     # (T, H, D) -> (KVH, G*nq*bqt, D) grouped rows, padded T to nq*bqt
@@ -257,6 +279,9 @@ def flash_mha(
         else:
             hi = limit_ref[0]
         nb = jnp.maximum(pl.cdiv(hi, bk), 1)
+        if window > 0 and sink == 0:
+            b = b + jnp.maximum(
+                prior_ref[0] + qi * bqt - (window - 1), 0) // bk
         return jnp.minimum(b, nb - 1)
 
     if layer_dyn is not None:

@@ -175,3 +175,32 @@ def test_flash_dyn_layer_matches_static():
         for i in range(L)
     )
     np.testing.assert_allclose(np.asarray(tot), ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("causal,prior,T", [
+    (True, 3900, 4),    # decode deep into a long cache
+    (False, 3900, 12),  # tree-history pass (drafter window path)
+    (True, 60, 8),      # window only partially filled (lo_blk == 0)
+])
+def test_flash_window_grid_skip(causal, prior, T):
+    """window>0 & sink==0 shrinks the KV grid to ~(window+bqt)/bk steps and
+    offsets the block index (the 96K drafter otherwise walked the whole
+    capacity, ~0.9 ms/round); results must match the XLA oracle exactly as
+    before the skip."""
+    H, KVH, D, S, W = 4, 2, 32, 4096, 100
+    q, k, v = _mk(T, H, KVH, D, S, seed=7)
+    got = flash_mha(q, k, v, jnp.int32(prior), causal=causal, window=W,
+                    return_lse=not causal, interpret=True)
+    if causal:
+        ref = mha_xla(q, k, v, jnp.int32(prior), window=W)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+    else:
+        tm0 = jnp.zeros((T, T), jnp.bool_)
+        ref, lse_ref = mha_xla(q, k, v, jnp.int32(prior), tm0, window=W,
+                               return_lse=True)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got[1]),
+                                   np.asarray(lse_ref.T),
+                                   rtol=2e-5, atol=2e-5)
