@@ -167,16 +167,17 @@ def _sparse_kernel(
     limit_ref,  # (1,) int32
     # inputs
     q_ref,  # (1, 1, rows, D)
-    bvis_ref,  # (1, 1, 1, BT, pair) int32 — bit sb of word [t, p] = block
-               # tile_p*sub+sb visible to query t, where tile_p is the KV
-               # tile this step's sub-tile p maps. Pre-gathered by the XLA
-               # prologue via the load table: the kernel reads its column
-               # directly instead of scanning an NBK-wide row per step
-               # (that scan was ~0.2us/step at prefill and would grow 4x
-               # at bk=128 — larger than the whole per-step floor). The
-               # grid-step axis is its own (blocked-by-1) dim so the
-               # block's LAST TWO dims are the full (BT, pair) extents —
-               # Mosaic requires last-dim blocks of 128k or the full dim.
+    bvis_ref,  # (1, 1, NSTEPS, BT, pair) int32 — bit sb of word [b, t, p]
+               # = block tile_p*sub+sb visible to query t, where tile_p is
+               # the KV tile step b's sub-tile p maps. Pre-gathered by the
+               # XLA prologue via the load table: the kernel indexes its
+               # step's (BT, pair) plane instead of scanning an NBK-wide
+               # row (that scan was ~0.2us/step at prefill and would grow
+               # 4x at bk=128). The block covers ALL grid steps with a
+               # b-invariant index map, so the whole table DMAs ONCE per
+               # (head, q-tile) — blocking the step axis instead issued a
+               # tiny per-step DMA, and the trailing dims must be the full
+               # (BT, pair) extents anyway (Mosaic last-two-dims rule).
     pos_ref,  # (1, 1, BT) int32
     # then ``pair`` interleaved (k_ref, v_ref) pairs, each (1, BK, D):
     # sub-tile p maps KV tile load_ref[base + p] — independent scattered
@@ -224,7 +225,7 @@ def _sparse_kernel(
     def _compute():
         q = q_ref[0, 0]
         qpos = pos_ref[0, 0][:, None]  # (BT, 1)
-        bv = bvis_ref[0, 0, 0]  # (BT, pair)
+        bv = bvis_ref[0, 0, b]  # (BT, pair) — this step's plane
         s_parts = []
         v_parts = []
         for p in range(pair):
@@ -456,8 +457,8 @@ def sparse_flash_mha(
             grid=(KVH * gs, nq, nsteps),
             in_specs=[
                 pl.BlockSpec((1, 1, rows, D), lambda h, qi, b, *_: (h, qi, 0, 0)),
-                pl.BlockSpec((1, 1, 1, bt, pair),
-                             lambda h, qi, b, *_: (h // gs, qi, b, 0, 0)),
+                pl.BlockSpec((1, 1, nsteps, bt, pair),
+                             lambda h, qi, b, *_: (h // gs, qi, 0, 0, 0)),
                 pl.BlockSpec((1, 1, bt), lambda h, qi, b, *_: (qi, 0, 0)),
                 *kv_specs,
             ],
@@ -674,8 +675,8 @@ def sparse_flash_mha_slots(
             grid=(B * KVH, 1, nsteps),
             in_specs=[
                 pl.BlockSpec((1, 1, rows, D), lambda i, qi, b, *_: (i, 0, 0, 0)),
-                pl.BlockSpec((1, 1, 1, bt, pair),
-                             lambda i, qi, b, *_: (i, 0, b, 0, 0)),
+                pl.BlockSpec((1, 1, nsteps, bt, pair),
+                             lambda i, qi, b, *_: (i, 0, 0, 0, 0)),
                 pl.BlockSpec((1, 1, bt), lambda i, qi, b, *_: (i // KVH, 0, 0)),
                 *kv_specs,
             ],
