@@ -69,4 +69,12 @@ run batch4_spec_oracle python bench.py --batch 4 --spec --oracle-accept \
     --prompt-len 512
 run batch8_spec_oracle python bench.py --batch 8 --spec --oracle-accept \
     --prompt-len 512
+
+# pair A/B re-run: the r4d pair rows were measured with the per-step
+# vis-word DMA (fixed in 00d9bf8) — re-measure both arms on the fixed
+# kernel before trusting a pair default
+run sparse96k_spec_real_pair4_v2 python bench.py --sparse --spec \
+    --realistic --prompt-len 98304
+run sparse96k_spec_real_pair1_v2 python bench.py --sparse --spec \
+    --realistic --prompt-len 98304 --sparse-pair 1
 echo "r4e sweep done ($(date +%H:%M:%S))" >&2
