@@ -263,12 +263,21 @@ def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2",
             head_dim=64, quant_lmhead=False,
             quant=cfg.quant and HIER_DRAFT == "quant",
         )
-        dparams = make_params(draft_cfg, jax.random.PRNGKey(1))
         ecfg = EagleConfig(
             model=dataclasses.replace(draft_cfg, num_layers=1),
             num_iter=2, topk_per_iter=10, tree_size=12,
         )
-        eparams = init_eagle_params(ecfg, jax.random.PRNGKey(2))
+        if oracle_accept:
+            # best-case bracket: all three models' greedy outputs agree by
+            # construction (spec.oracle.oracle_hier_triple), so every outer
+            # round emits max_chain+1 tokens at the real config's HBM cost
+            from cpmcu_tpu.spec.oracle import oracle_hier_triple
+
+            params, dparams, eparams = oracle_hier_triple(
+                cfg, draft_cfg, ecfg)
+        else:
+            dparams = make_params(draft_cfg, jax.random.PRNGKey(1))
+            eparams = init_eagle_params(ecfg, jax.random.PRNGKey(2))
         engine = HierSpecEngine(
             cfg, draft_cfg, ecfg, eng, params, dparams, eparams,
             min_draft_length=8, inner_unroll=HIER_UNROLL,

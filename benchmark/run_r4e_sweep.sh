@@ -54,6 +54,13 @@ timeout 2400 python benchmark/exp_r4c_hier.py quant unroll \
     > benchmark/results/r4e_hier_profile_unroll.log 2>&1
 echo "{\"mode\": \"hier_profile_unroll\", \"result\": \"rc=$?\"}" >> "$OUT"
 
+# hier throughput brackets: accept=1 (random) is in the profiles above;
+# oracle (all-accept) bounds the ceiling — both inner-loop modes
+run hier_oracle_scan python bench.py --spec --spec-type hier \
+    --oracle-accept --prompt-len 2048
+run hier_oracle_unroll python bench.py --spec --spec-type hier \
+    --oracle-accept --prompt-len 2048 --hier-unroll
+
 # batched-spec decomposition (plain anchor + spec + per-round + trace)
 echo "=== batchspec profile ($(date +%H:%M:%S))" >&2
 timeout 2400 python benchmark/exp_r4e_batchspec.py 8 \

@@ -206,3 +206,34 @@ def test_hier_pipelined_segments_match_plain(setup):
     got, _, _ = hier.generate([1, 2, 3, 4, 5], generation_length=30)
     assert got == want
     assert "dd" in "".join(events), f"pipeline never engaged: {events}"
+
+
+def test_hier_oracle_triple_all_accept():
+    """spec.oracle.oracle_hier_triple: base, chain-draft model and inner
+    drafter greedy outputs coincide (tied self-token heads + zero layers),
+    so every outer round accepts the full chain — the hier best-case
+    bracket used by ``bench --spec-type hier --oracle-accept``."""
+    import dataclasses
+
+    import jax
+
+    from cpmcu_tpu.core.config import EngineConfig, ModelConfig
+    from cpmcu_tpu.engine.hier_engine import HierSpecEngine
+    from cpmcu_tpu.spec.eagle import EagleConfig
+    from cpmcu_tpu.spec.oracle import oracle_hier_triple
+
+    cfg = ModelConfig(vocab_size=512, num_layers=2, hidden_size=1024,
+                      intermediate_size=2048, num_heads=8, num_kv_heads=2,
+                      head_dim=128, quant=True, quant_lmhead=True)
+    draft_cfg = dataclasses.replace(cfg, num_layers=1, quant_lmhead=False)
+    ecfg = EagleConfig(model=dataclasses.replace(draft_cfg, num_layers=1),
+                       num_iter=2, topk_per_iter=4, tree_size=6)
+    params, dparams, eparams = oracle_hier_triple(cfg, draft_cfg, ecfg)
+    eng = EngineConfig(chunk_length=64, max_total_length=512)
+    engine = HierSpecEngine(cfg, draft_cfg, ecfg, eng, params, dparams,
+                            eparams, min_draft_length=4)
+    toks, _, _ = engine.generate([3, 7, 11], generation_length=24)
+    assert len(toks) == 24
+    # after the first (host-driven) round, fused rounds accept everything
+    assert engine.mean_accept_length() > 3.0, engine.accept_lengths
+    assert max(engine.accept_lengths) == engine.max_chain + 1
