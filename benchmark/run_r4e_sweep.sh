@@ -16,7 +16,7 @@ run() {
   fi
   echo "=== $name: $* ($(date +%H:%M:%S))" >&2
   local line
-  line=$(timeout 1600 "$@" 2>/dev/null | tail -1)
+  line=$(timeout 2400 "$@" 2>/dev/null | tail -1)
   if [ -n "$line" ]; then
     echo "{\"mode\": \"$name\", \"result\": $line}" >> "$OUT"
     echo "$name -> $line" >&2
@@ -84,4 +84,11 @@ run sparse96k_spec_real_pair4_v2 python bench.py --sparse --spec \
     --realistic --prompt-len 98304
 run sparse96k_spec_real_pair1_v2 python bench.py --sparse --spec \
     --realistic --prompt-len 98304 --sparse-pair 1
+# 32K full stack (timed out in r4d: all-fresh compiles after the kernel
+# fix ate the old 1600s cap)
+run sparse32k_spec_real_v2 python bench.py --sparse --spec --realistic \
+    --prompt-len 32768
+# driver-headline warm retry (also re-warms every compile the driver's
+# round-end bench needs, in case the r4d headline hit the compile wall)
+run headline_v2 python bench.py
 echo "r4e sweep done ($(date +%H:%M:%S))" >&2
