@@ -26,13 +26,35 @@ TARGET = 2.50  # reference mean accept (BASELINE.md / README.md:102)
 
 
 def measure(scale: float, steps: int = 192) -> dict:
+    """One candidate row; a timeout/parse failure skips the candidate
+    instead of killing the whole calibration (the r4d run died on its
+    FIRST row when fresh post-kernel-fix compiles blew a 1500 s cap and
+    TimeoutExpired propagated — the headline then silently fell back to
+    the noise drafter)."""
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--spec",
            "--realistic", "--distill-scale", f"{scale:g}",
            "--steps", str(steps)]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1500,
-                         cwd=REPO)
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=2400, cwd=REPO)
+        line = out.stdout.strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception as e:  # TimeoutExpired, IndexError, JSONDecodeError
+        return {"value": None, "extra": {},
+                "error": f"{type(e).__name__}: {e}"}
+
+
+def proxy_of(ddir: str, scale: float) -> float:
+    """chain_accept_proxy recorded by the fit — used to order candidates
+    (best first, so a deadline leaves the most useful rows measured) and
+    to skip known-degenerate bases (proxy ~1: argmax-tie regime)."""
+    import numpy as np
+
+    path = os.path.join(ddir, f"drafter_s{scale:g}.npz")
+    try:
+        return float(np.load(path)["chain_accept_proxy"])
+    except Exception:
+        return 0.0
 
 
 def main():
@@ -57,6 +79,9 @@ def main():
                 float(os.path.basename(p)[len("drafter_s"):-len(".npz")])
                 for p in glob.glob(os.path.join(ddir, "drafter_s*.npz")))
         assert scales, "run gen_distill_corpus + distill_drafter first"
+        # measure best-proxy first; drop degenerate bases (proxy < 1.2)
+        scales = sorted((s for s in scales if proxy_of(ddir, s) >= 1.2),
+                        key=lambda s: -proxy_of(ddir, s)) or scales
         with open(rows_path, "a") as f:
             for s in scales:
                 r = measure(s)
@@ -64,6 +89,8 @@ def main():
                        "accept": r["extra"].get("mean_accept_length"),
                        "decode_tok_s": r["value"],
                        "drafter": r["extra"].get("drafter")}
+                if "error" in r:
+                    row["error"] = r["error"]
                 rows.append(row)
                 f.write(json.dumps(row) + "\n")
                 print(json.dumps(row), flush=True)
