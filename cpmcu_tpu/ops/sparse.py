@@ -233,11 +233,18 @@ def select_blocks(
     pooled = jnp.where(b < init_blocks, jnp.float32(jnp.inf), pooled)
 
     k = min(topk, NB)
-    from .topk import topk_wide
+    # top-k backend by shape, both exact:
+    #  * prefill (T >= 1024): chunked topk_wide — lax.top_k's full-width
+    #    sort was ~1 ms per layer at NB=1536 (r4a prefill trace);
+    #  * decode/tree (T small): plain lax.top_k — the chunked variant's
+    #    many narrow sorts REGRESSED these shapes 4x (r4g decode trace:
+    #    41 ms vs 10 per 12-round segment, +2.6 ms/round at 96K).
+    if T >= 1024:
+        from .topk import topk_wide
 
-    # chunked exact top-k: NB grows with context (1536 blocks at 96K) and
-    # lax.top_k's full-width sort was ~1 ms per prefill layer there
-    vals, idx = topk_wide(pooled, k, chunk=256)  # (KVH, T, k)
+        vals, idx = topk_wide(pooled, k, chunk=256)  # (KVH, T, k)
+    else:
+        vals, idx = jax.lax.top_k(pooled, k)
     keep = vals > NEG_INF / 2  # drop forced-out picks (reference idx==-1 skip)
     return idx.astype(jnp.int32), keep, pooled
 

@@ -350,8 +350,17 @@ def sparse_flash_mha(
     # bk=128); pairing keeps the step count at the coarse-tile figure
     # (the r4b bk=128 regression: 768 steps at ~0.44us/step of fixed
     # overhead — 4 sub-tiles/step restores 192 steps at half the bytes).
-    if T < 1024:
+    if T <= 8:
+        # true decode (single token / short chains): fine tiles + pairing
+        # cut tile-DMA bytes at the coarse step count (96K decode-only
+        # 94 -> 104 tok/s, r4d)
         pair = max(1, int(TUNE.get("decode_pair", 1)))
+    elif T < 1024:
+        # spec-tree verify (T = tree_size): the 12-token union covers most
+        # coarse tiles, so fine tiles just add DMA descriptors — r4g traced
+        # pair4/bk128 at +37% kernel time vs bk512 unpaired (88.8 vs 64.7
+        # ms/segment); default stays unpaired BK=512 (TUNE tree_pair A/Bs)
+        pair = max(1, int(TUNE.get("tree_pair", 1)))
     else:
         pair = max(1, int(TUNE.get("prefill_pair", 1)))
     if bk is None:
