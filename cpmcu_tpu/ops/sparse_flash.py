@@ -398,17 +398,21 @@ def sparse_flash_mha(
         ngrid += padn
     nsteps = ngrid // pair
     # pre-gather the per-(token, sub-tile) visibility words by the load
-    # table, directly in step-major (KVH, nq, nsteps, bt, pair) layout via
-    # ONE broadcast gather (a gather-then-transpose variant cost two extra
-    # ~16us relayout fusions per sparse call — ~1 ms/round at 96K, r4g
-    # trace). Each step's block is then the full (bt, pair) trailing
-    # extent (Mosaic last-two-dims rule); clamped / padded entries carry
-    # the clamped tile's word, masked in-kernel by the visit flag.
-    bvis_grid = jnp.take_along_axis(
-        blockvis[:, :, None],  # (KVH, nq, 1, bt, NBK)
-        load_idx.reshape(KVH, nq, nsteps, 1, pair),
-        axis=-1,
-    )  # (KVH, nq, nsteps, bt, pair)
+    # table -> (KVH, nq, bt, ngrid), then split the grid axis out to
+    # (KVH, nq, nsteps, bt, pair) so each step's block is the full
+    # (bt, pair) trailing extent (Mosaic last-two-dims rule). Clamped /
+    # padded entries carry the clamped tile's word, masked in-kernel by
+    # the visit flag. NOTE: do NOT "optimize" this into one broadcast
+    # gather (operand (KVH,nq,1,bt,NBK) x idx (KVH,nq,S,1,P)) — XLA
+    # materializes the broadcast operand, ~600 MB/call at 96K prefill
+    # (r4e pair1_v2 timed out on it); the two ~16us relayout fusions of
+    # the transpose are the cheap option.
+    bvis_grid = jnp.take_along_axis(blockvis, load_idx[:, :, None, :],
+                                    axis=-1)
+    bvis_grid = (
+        bvis_grid.reshape(KVH, nq, bt, nsteps, pair)
+        .transpose(0, 1, 3, 2, 4)
+    )
     Sp = nbk * bk
     if Sp != S:
         k_cache = jnp.pad(k_cache, ((0, 0), (0, Sp - S), (0, 0)))
@@ -648,15 +652,17 @@ def sparse_flash_mha_slots(
         positions[:, None], ((0, 0), (0, 0), (0, bt - T))
     )  # (B, 1, bt); padded rows mask to empty (pos 0 < any visited j)
     # pre-gather the per-(token, sub-tile) visibility words by the load
-    # table, directly step-major via one broadcast gather (see
-    # sparse_flash_mha); clamped/padded entries masked in-kernel by the
-    # visit flag
+    # table (clamped/padded entries masked in-kernel by the visit flag);
+    # grid-step axis split out so each step's block is the full trailing
+    # (bt, pair) extent — gather-then-transpose, NOT a broadcast gather
+    # (see sparse_flash_mha: XLA materializes the broadcast operand)
     bvis_grid = jnp.take_along_axis(
-        blockvis[:, :, :, None],  # (B, KVH, 1, 1, bt, NBK)
-        load_idx.reshape(B, KVH, 1, nsteps, 1, pair),
-        axis=-1,
-    )  # (B, KVH, 1, nsteps, bt, pair)
-    bvis = bvis_grid.reshape(B * KVH, 1, nsteps, bt, pair)
+        blockvis, load_idx[:, :, :, None, :], axis=-1
+    )  # (B, KVH, 1, bt, ngrid)
+    bvis = (
+        bvis_grid.reshape(B * KVH, 1, bt, nsteps, pair)
+        .transpose(0, 1, 3, 2, 4)
+    )  # (B*KVH, 1, nsteps, bt, pair)
 
     def make_kv_index(p):
         def kv_index(i, qi, b, load_ref, visit_ref, limit_ref):
