@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-4 sweep G (runs after r4f releases the TPU): post-fix measurement
+# pass on the reverted/fixed kernels (b143de4).
+#  1. exp_r4a_profile AB at 96K: the realistic sparse-prefill decomposition
+#     (VERDICT r3 task 4 — never captured) + a POST-FIX decode trace to
+#     replace r4g_decode_trace.log (which measured the since-fixed
+#     regressions and drove 410d3ce).
+#  2. Post-fix full-stack A/B rows: sparse-pair and quant-draft-head at
+#     96K, plus the 32K row (r4e's ran with the bad broadcast gather).
+set -u
+cd "$(dirname "$0")/.."
+OUT="${1:-benchmark/results/r4g_sweep.jsonl}"
+mkdir -p "$(dirname "$OUT")"
+
+run() {
+  local name="$1"; shift
+  echo "=== $name: $* ($(date +%H:%M:%S))" >&2
+  local line
+  line=$(timeout 2400 "$@" 2>/dev/null | tail -1)
+  if [ -n "$line" ]; then
+    echo "{\"mode\": \"$name\", \"result\": $line}" >> "$OUT"
+    echo "$name -> $line" >&2
+  else
+    echo "{\"mode\": \"$name\", \"result\": null}" >> "$OUT"
+    echo "$name -> FAILED/TIMEOUT" >&2
+  fi
+}
+
+echo "=== postfix profile AB ($(date +%H:%M:%S))" >&2
+timeout 4200 python benchmark/exp_r4a_profile.py 98304 AB \
+    > benchmark/results/r4g_profile_postfix.log 2>&1
+echo "{\"mode\": \"profile_postfix\", \"result\": \"rc=$?\"}" >> "$OUT"
+
+run sparse96k_spec_real_pair1_v3 python bench.py --sparse-pair 1
+run sparse96k_spec_real_noquanthead_v3 python bench.py --no-quant-draft-head
+run sparse32k_spec_real_v3 python bench.py --prompt-len 32768
+echo "r4g sweep done ($(date +%H:%M:%S))" >&2
