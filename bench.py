@@ -605,6 +605,12 @@ def main():
     ap.add_argument("--prefill-pair", type=int, default=0,
                     help="override ops.sparse_flash TUNE['prefill_pair'] "
                     "(0 = keep default 1); pairs fine KV tiles at prefill")
+    ap.add_argument("--tree-pair", type=int, default=0,
+                    help="override ops.sparse_flash TUNE['tree_pair'] "
+                    "(0 = keep default 1): spec-tree verify calls process "
+                    "`pair` COARSE 512-row KV tiles per grid step (same "
+                    "bytes, fewer steps — A/B for the tree call's ~40%% "
+                    "per-step overhead share at 96K)")
     ap.add_argument("--max-len", type=int, default=0, help="0 = solve from HBM")
     ap.add_argument("--chunk-len", type=int, default=2048)
     args = ap.parse_args()
@@ -672,13 +678,15 @@ def main():
     eng = EngineConfig(chunk_length=args.chunk_len, max_total_length=max_len)
     if args.spec_segment:
         eng = dataclasses.replace(eng, spec_segment_size=args.spec_segment)
-    if args.sparse_pair or args.prefill_pair:
+    if args.sparse_pair or args.prefill_pair or args.tree_pair:
         from cpmcu_tpu.ops import sparse_flash as _sf
 
         if args.sparse_pair:
             _sf.TUNE["decode_pair"] = args.sparse_pair
         if args.prefill_pair:
             _sf.TUNE["prefill_pair"] = args.prefill_pair
+        if args.tree_pair:
+            _sf.TUNE["tree_pair"] = args.tree_pair
 
     try:
         if args.init_deadline:

@@ -26,12 +26,30 @@ run() {
   fi
 }
 
+# 0. mandatory post-kernel-edit gate (now also compiles the coarse
+# tree_pair=2 shape)
+echo "=== sparse smoke ($(date +%H:%M:%S))" >&2
+timeout 2400 python benchmark/smoke_sparse_tpu.py \
+    > benchmark/results/r4g_smoke3.log 2>&1
+echo "{\"mode\": \"smoke\", \"result\": \"rc=$?\"}" >> "$OUT"
+
 echo "=== postfix profile AB ($(date +%H:%M:%S))" >&2
 timeout 4200 python benchmark/exp_r4a_profile.py 98304 AB \
     > benchmark/results/r4g_profile_postfix.log 2>&1
 echo "{\"mode\": \"profile_postfix\", \"result\": \"rc=$?\"}" >> "$OUT"
 
+# coarse tree pairing: 2 x 512-row sub-tiles per tree-verify grid step
+# (same bytes, half the steps) vs the unpaired default
+run sparse96k_spec_real_treepair2 python bench.py --tree-pair 2
 run sparse96k_spec_real_pair1_v3 python bench.py --sparse-pair 1
 run sparse96k_spec_real_noquanthead_v3 python bench.py --no-quant-draft-head
 run sparse32k_spec_real_v3 python bench.py --prompt-len 32768
+
+# stage-1 scorer A/B under the REALISTIC checkpoint (parked "within
+# noise" only under synthetic union saturation; realistic stage-2 is
+# smaller so stage-1's relative share is larger)
+echo "=== stage1 A/B realistic ($(date +%H:%M:%S))" >&2
+CPMCU_REALISTIC=1 timeout 2400 python benchmark/exp_stage1_ab.py \
+    > benchmark/results/r4g_stage1_ab.log 2>&1
+echo "{\"mode\": \"stage1_ab_realistic\", \"result\": \"rc=$?\"}" >> "$OUT"
 echo "r4g sweep done ($(date +%H:%M:%S))" >&2

@@ -65,6 +65,12 @@ for pair in (1, 4):
     run(f"decode T=2 pair={pair}", T=2, prior=8192, include_new=True)
     run(f"tree T=16 pair={pair} (history+lse)", T=16, prior=8192,
         include_new=False, return_lse=True)
+for tpair in (2,):
+    # coarse tree pairing: pair x 512-row sub-tiles per grid step
+    sf.TUNE["tree_pair"] = tpair
+    run(f"tree T=16 tree_pair={tpair} (history+lse)", T=16, prior=8192,
+        include_new=False, return_lse=True)
+sf.TUNE["tree_pair"] = 1
 for ppair in (1, 4):
     sf.TUNE["prefill_pair"] = ppair
     run(f"prefill T=2048 ppair={ppair}", T=2048, prior=4096,

@@ -365,7 +365,15 @@ def sparse_flash_mha(
         pair = max(1, int(TUNE.get("prefill_pair", 1)))
     if bk is None:
         dbk = TUNE["decode_bk"] or BK_DECODE
-        if pair > 1 and S % dbk == 0:
+        if pair > 1 and 8 < T < 1024:
+            # spec-tree pairing keeps COARSE tiles: the 12-token union
+            # covers most coarse tiles (fine tiles only add DMA
+            # descriptors, r4g trace), so pairing's win here is fewer
+            # grid steps at the same bytes — pair sub-tiles of tree_bk
+            # rows each per step (pair=2 x 512 halves the ~40% per-step
+            # overhead share of the tree call)
+            bk = int(TUNE.get("tree_bk", BK))
+        elif pair > 1 and S % dbk == 0:
             bk = dbk
         else:
             # unpaired: spec-tree verify (T = tree_size) must KEEP BK=512 —

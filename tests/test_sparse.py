@@ -671,10 +671,13 @@ def test_sparse_kernel_decode_bk64_matches_oracle():
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("pair,T", [(1, 5), (2, 5), (4, 5), (4, 16), (3, 1)])
+@pytest.mark.parametrize("pair,T", [(1, 5), (2, 5), (4, 5), (4, 16),
+                                    (2, 16), (3, 1)])
 def test_sparse_kernel_pair_matches_oracle(pair, T):
-    """pair sub-tiles per grid step (TUNE decode_pair) stay exact — incl.
-    pair=3 (ngrid padded to a pair multiple) and tree-shaped T=16."""
+    """pair sub-tiles per grid step stay exact — incl. pair=3 (ngrid
+    padded to a pair multiple) and tree-shaped T=16, which takes the
+    COARSE tree_pair branch (tree_bk-row sub-tiles; T<=8 takes the fine
+    decode_pair branch)."""
     from cpmcu_tpu.ops.attention import mha_xla
     from cpmcu_tpu.ops import sparse_flash as sf
 
@@ -693,6 +696,8 @@ def test_sparse_kernel_pair_matches_oracle(pair, T):
 
     old = dict(sf.TUNE)
     sf.TUNE["decode_pair"] = pair
+    sf.TUNE["tree_pair"] = pair  # T>8 reads tree_pair (coarse sub-tiles)
+    sf.TUNE["tree_bk"] = 256  # S=1024 -> 4 coarse tiles, pairing engages
     jax.clear_caches()  # TUNE is read at trace time (CLAUDE.md pjit-cache)
     try:
         got = sf.sparse_flash_mha(
