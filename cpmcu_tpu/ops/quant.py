@@ -372,8 +372,12 @@ def _qmm_kernel(
 
     @pl.when(m == 0)
     def _dequant():
-        w = q_ref[:]  # (128, BN) int32
-        sc = s_ref[:]  # (8, BN) f32
+        # blocks may carry a leading (1,) layer dim (stacked weights read
+        # in place via a layer-indexed BlockSpec — the M>64 tree-verify /
+        # batch-spec path otherwise COPIES the whole layer pack per call,
+        # ~360us each in the r4e batch-spec trace)
+        w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])  # (128, BN)
+        sc = s_ref[...].reshape(s_ref.shape[-2], s_ref.shape[-1])  # (8, BN)
         for j in range(4):
             v, (mult, sub) = _extract_pair_planes(w, j, interpret)
             for h in range(2):
@@ -460,10 +464,12 @@ def quant_matmul_pallas(
 
     stacked = layer is not None or layer_dyn is not None
     if stacked and (Mp > 64 or N % bn != 0):
-        if Mp <= 64:
-            while N % bn:  # stacked weights cannot be padded without a copy
-                bn //= 2
-        if Mp > 64 or bn < 128:
+        while N % bn:  # stacked weights cannot be padded without a copy
+            bn //= 2
+        # the big-M kernel supports a STATIC stacked layer via its
+        # BlockSpec (below); only a traced layer at M>64 or a pack whose
+        # N defeats tiling still falls back to the slice-copy path
+        if bn < 128 or (Mp > 64 and layer_dyn is not None):
             li = layer if layer is not None else layer_dyn
             return quant_matmul_pallas(
                 x, q[li], s[li], norm_w, norm_eps=norm_eps,
@@ -563,7 +569,14 @@ def quant_matmul_pallas(
             [pltpu.VMEM((bm, bn), jnp.float32)],
             (x, q, s),
         )
-    assert layer is None and layer_dyn is None
+    assert layer_dyn is None
+    if layer is None:
+        q_spec_big = pl.BlockSpec((128, bn), lambda n, k, m: (k, n))
+        s_spec_big = pl.BlockSpec((8, bn), lambda n, k, m: (k, n))
+    else:
+        # stacked weights read in place (see _qmm_kernel._dequant note)
+        q_spec_big = pl.BlockSpec((1, 128, bn), lambda n, k, m: (layer, k, n))
+        s_spec_big = pl.BlockSpec((1, 8, bn), lambda n, k, m: (layer, k, n))
 
     out = pl.pallas_call(
         functools.partial(
@@ -573,8 +586,8 @@ def quant_matmul_pallas(
         grid=(nn, nk, nm),
         in_specs=[
             pl.BlockSpec((bm, KCHUNK), lambda n, k, m: (m, k)),
-            pl.BlockSpec((128, bn), lambda n, k, m: (k, n)),
-            pl.BlockSpec((8, bn), lambda n, k, m: (k, n)),
+            q_spec_big,
+            s_spec_big,
         ],
         out_specs=pl.BlockSpec((Mp, bn), lambda n, k, m: (0, n)),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),

@@ -29,6 +29,25 @@ def topk_wide(x, k: int, chunk: int = 128):
         V += pad
     nc = V // chunk
     xc = x.reshape(x.shape[:-1] + (nc, chunk))
+    if k * chunk * 4 <= V:
+        # hierarchical max-filter (very wide rows, e.g. the 32K FR draft
+        # head): sorting every chunk is still O(V log chunk) — 3.4 ms per
+        # batched draft top-k in the r4e batch-spec trace. Any entry of
+        # the true top-k lives in a chunk whose max is >= the k-th value,
+        # and at most k chunks can contain top-k entries, so the top-k
+        # chunks BY MAX (cheap reduce, no sort of the wide axis) provably
+        # cover the answer; one narrow exact top-k over those k*chunk
+        # candidates finishes. cidx is re-sorted ascending so candidate
+        # order == global index order and lax.top_k's lowest-index
+        # tie-break is preserved exactly.
+        cmax = jnp.max(xc, axis=-1)  # (..., nc)
+        _, cidx = jax.lax.top_k(cmax, k)  # ties -> lowest chunk first
+        cidx = jnp.sort(cidx, axis=-1)
+        sel = jnp.take_along_axis(xc, cidx[..., None], axis=-2)
+        v, pos = jax.lax.top_k(sel.reshape(x.shape[:-1] + (k * chunk,)), k)
+        idx = (jnp.take_along_axis(cidx, pos // chunk, axis=-1) * chunk
+               + pos % chunk)
+        return v, jnp.minimum(idx, V0 - 1)
     cv, ci = jax.lax.top_k(xc, k)  # (..., nc, k)
     base = (jnp.arange(nc, dtype=jnp.int32) * chunk)[..., :, None]
     cand_v = cv.reshape(x.shape[:-1] + (nc * k,))

@@ -284,3 +284,32 @@ def test_quant_matmul_dyn_layer_matches_static():
         for i in range(L)
     )
     np.testing.assert_allclose(np.asarray(tot), ref, rtol=1e-6)
+
+
+def test_quant_matmul_stacked_big_m_matches_sliced():
+    """M>64 (tree-verify / batch-spec shapes) with a STATIC stacked layer
+    reads the pack in place via the big-M kernel's layer BlockSpec; must
+    be bit-identical to the unstacked call on the sliced layer (the old
+    fallback COPIED the whole layer pack per call — r4e batch-spec
+    trace, 27 x ~360us/round)."""
+    rng = np.random.default_rng(13)
+    L, M, K, N = 3, 96, 2048, 1024
+    qs = jnp.asarray(rng.integers(0, 2**31, (L, K // 8, N)), jnp.int32)
+    ss = jnp.asarray(rng.standard_normal((L, K // 128, N)) * 0.1, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+
+    for li in range(L):
+        a = quant_matmul_pallas(x, qs, ss, layer=li, interpret=True)
+        b = quant_matmul_pallas(x, qs[li], ss[li], interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+    # ragged N exercises the bn-shrink path (N % 1024 != 0, still >= 128)
+    N2 = 640
+    qs2 = jnp.asarray(rng.integers(0, 2**31, (L, K // 8, N2)), jnp.int32)
+    ss2 = jnp.asarray(rng.standard_normal((L, K // 128, N2)) * 0.1,
+                      jnp.float32)
+    a = quant_matmul_pallas(x, qs2, ss2, layer=1, interpret=True)
+    b = quant_matmul_pallas(x, qs2[1], ss2[1], interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(a, np.float32), np.asarray(b, np.float32))

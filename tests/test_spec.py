@@ -355,13 +355,27 @@ def test_topk_wide_matches_lax_top_k():
     from cpmcu_tpu.spec.eagle import topk_wide
 
     rng = np.random.default_rng(0)
-    for shape, k in [((33000,), 10), ((3, 1300), 7), ((2, 5, 1111), 4)]:
+    # (33000,) k=10 takes the hierarchical max-filter branch
+    # (k*chunk*4 <= V); the others take the all-chunks candidate pool
+    for shape, k in [((33000,), 10), ((3, 1300), 7), ((2, 5, 1111), 4),
+                     ((4, 32768), 8)]:
         x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
         v, i = topk_wide(x, k, chunk=128)
         rv, ri = jax.lax.top_k(x, k)
         np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
         np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
         assert int(np.asarray(i).max()) < shape[-1]
+
+    # adversarial ties for the hierarchical branch: many duplicated
+    # values (incl. >k entries of the k-th value spread across chunks,
+    # and several top-k entries inside ONE chunk) must reproduce
+    # lax.top_k's lowest-index tie-break exactly
+    x = jnp.asarray(rng.integers(0, 6, size=(3, 33000)), jnp.float32)
+    x = x.at[0, 5000:5004].set(7.0)  # 4 of the top entries in one chunk
+    v, i = topk_wide(x, 8, chunk=128)
+    rv, ri = jax.lax.top_k(x, 8)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
 
 
 def test_topk_wide_pad_slots_never_escape():
