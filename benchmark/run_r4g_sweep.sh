@@ -45,6 +45,14 @@ run sparse96k_spec_real_pair1_v3 python bench.py --sparse-pair 1
 run sparse96k_spec_real_noquanthead_v3 python bench.py --no-quant-draft-head
 run sparse32k_spec_real_v3 python bench.py --prompt-len 32768
 
+# post-fix batched spec (hierarchical FR-head top-k + stacked big-M
+# quant BlockSpec landed after the r4e rows: 96 ms/round had 13.7 ms of
+# sorts + ~11 ms of pack-slice copies) — measure the recovered crossover
+run batch8_spec_oracle_v2 python bench.py --batch 8 --spec \
+    --oracle-accept --prompt-len 512
+run batch2_spec_oracle_v2 python bench.py --batch 2 --spec \
+    --oracle-accept --prompt-len 512
+
 # stage-1 scorer A/B under the REALISTIC checkpoint (parked "within
 # noise" only under synthetic union saturation; realistic stage-2 is
 # smaller so stage-1's relative share is larger)

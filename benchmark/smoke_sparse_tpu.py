@@ -97,4 +97,25 @@ for pair in (1, 4):
     print(f"slots B=4 pair={pair}: ok ({time.time() - t:.1f}s)", flush=True)
 
 sf.TUNE["decode_pair"] = 4
+
+# big-M quant kernel with a stacked static-layer BlockSpec (the
+# tree-verify / batch-spec M>64 path; parity-tested in interpret mode,
+# this compiles+runs it on the chip) — both the divisible-N and the
+# bn-shrunk ragged-N tilings
+from cpmcu_tpu.ops.quant import quant_matmul_pallas
+
+Lq, M, Kq = 2, 96, 2048
+for Nq in (1024, 640):
+    t = time.time()
+    qs = jnp.asarray(rng.integers(0, 2**31, (Lq, Kq // 8, Nq)), jnp.int32)
+    ss = jnp.asarray(rng.standard_normal((Lq, Kq // 128, Nq)),
+                     jnp.float32)
+    xq = jnp.asarray(rng.standard_normal((M, Kq)), jnp.bfloat16)
+    a = quant_matmul_pallas(xq, qs, ss, layer=1, interpret=False)
+    b = quant_matmul_pallas(xq, qs[1], ss[1], interpret=False)
+    np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                  np.asarray(b, np.float32))
+    print(f"quant big-M stacked N={Nq}: ok ({time.time() - t:.1f}s)",
+          flush=True)
+
 print(f"ALL OK ({time.time() - t0:.1f}s total)", flush=True)
