@@ -115,7 +115,11 @@ for Nq in (1024, 640):
     b = quant_matmul_pallas(xq, qs[1], ss[1], interpret=False)
     np.testing.assert_array_equal(np.asarray(a, np.float32),
                                   np.asarray(b, np.float32))
-    print(f"quant big-M stacked N={Nq}: ok ({time.time() - t:.1f}s)",
-          flush=True)
+    c = quant_matmul_pallas(xq, qs, ss, None, jnp.int32(1),
+                            interpret=False)
+    np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                  np.asarray(c, np.float32))
+    print(f"quant big-M stacked N={Nq} (static+dyn): ok "
+          f"({time.time() - t:.1f}s)", flush=True)
 
 print(f"ALL OK ({time.time() - t0:.1f}s total)", flush=True)

@@ -466,10 +466,10 @@ def quant_matmul_pallas(
     if stacked and (Mp > 64 or N % bn != 0):
         while N % bn:  # stacked weights cannot be padded without a copy
             bn //= 2
-        # the big-M kernel supports a STATIC stacked layer via its
-        # BlockSpec (below); only a traced layer at M>64 or a pack whose
-        # N defeats tiling still falls back to the slice-copy path
-        if bn < 128 or (Mp > 64 and layer_dyn is not None):
+        # the big-M kernel supports stacked layers (static BlockSpec or
+        # traced scalar-prefetch index) below; only a pack whose N
+        # defeats tiling still falls back to the slice-copy path
+        if bn < 128:
             li = layer if layer is not None else layer_dyn
             return quant_matmul_pallas(
                 x, q[li], s[li], norm_w, norm_eps=norm_eps,
@@ -569,7 +569,45 @@ def quant_matmul_pallas(
             [pltpu.VMEM((bm, bn), jnp.float32)],
             (x, q, s),
         )
-    assert layer_dyn is None
+    kernel_big = functools.partial(
+        _qmm_kernel, bm=bm, bn=bn, nk=nk, nm=nm, out_dtype=out_dtype,
+        interpret=interpret,
+    )
+    x_spec_big = pl.BlockSpec((bm, KCHUNK), lambda n, k, m, *_: (m, k))
+    out_spec_big = pl.BlockSpec((Mp, bn), lambda n, k, m, *_: (0, n))
+    scratch_big = [
+        pltpu.VMEM((Mp, bn), jnp.float32),
+        pltpu.VMEM((KCHUNK, bn), dq_dtype),
+    ]
+    kw_big = dict(
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+    if layer_dyn is not None:
+        # TRACED layer via scalar prefetch (the batch-spec base tree
+        # forward scans layers at M=B*tree_size>64 — without this it
+        # slice-copies every layer pack per scan step)
+        out = pl.pallas_call(
+            lambda li_ref, *a: kernel_big(*a),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nn, nk, nm),
+                in_specs=[
+                    x_spec_big,
+                    pl.BlockSpec((1, 128, bn),
+                                 lambda n, k, m, li: (li[0], k, n)),
+                    pl.BlockSpec((1, 8, bn),
+                                 lambda n, k, m, li: (li[0], k, n)),
+                ],
+                out_specs=out_spec_big,
+                scratch_shapes=scratch_big,
+            ),
+            **kw_big,
+        )(jnp.asarray(layer_dyn, jnp.int32).reshape(1), x, q, s)
+        return out[:M, :N]
     if layer is None:
         q_spec_big = pl.BlockSpec((128, bn), lambda n, k, m: (k, n))
         s_spec_big = pl.BlockSpec((8, bn), lambda n, k, m: (k, n))
@@ -579,10 +617,7 @@ def quant_matmul_pallas(
         s_spec_big = pl.BlockSpec((1, 8, bn), lambda n, k, m: (layer, k, n))
 
     out = pl.pallas_call(
-        functools.partial(
-            _qmm_kernel, bm=bm, bn=bn, nk=nk, nm=nm, out_dtype=out_dtype,
-            interpret=interpret,
-        ),
+        kernel_big,
         grid=(nn, nk, nm),
         in_specs=[
             pl.BlockSpec((bm, KCHUNK), lambda n, k, m: (m, k)),
@@ -590,15 +625,8 @@ def quant_matmul_pallas(
             s_spec_big,
         ],
         out_specs=pl.BlockSpec((Mp, bn), lambda n, k, m: (0, n)),
-        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((Mp, bn), jnp.float32),
-            pltpu.VMEM((KCHUNK, bn), dq_dtype),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
+        scratch_shapes=scratch_big,
+        **kw_big,
     )(x, q, s)
     return out[:M, :N]
 

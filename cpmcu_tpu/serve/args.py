@@ -132,6 +132,14 @@ def add_server_args(parser: argparse.ArgumentParser):
     _opt(s, "max_batch", type=int, default=0,
          help="continuous-batching slots (0 = single-sequence engine, "
               "requests serialize like the reference server)")
+    _opt(s, "batch_spec_policy", type=str, default="auto",
+         choices=["auto", "force", "off"],
+         help="speculation policy under continuous batching (beyond "
+              "reference — it is batch-1 only): 'auto' serves PLAIN "
+              "batching at max_batch>=2 (measured crossover: batching "
+              "already amortizes the weight stream, so per-slot tree "
+              "verify loses — PERF.md r4e table), 'force' keeps the "
+              "batched EAGLE engine, 'off' always drops the drafter")
     return parser
 
 

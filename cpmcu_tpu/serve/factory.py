@@ -260,6 +260,25 @@ def create_engine(args: dict):
         eparams = load_eagle_params(
             draft_path, cfg, ecfg, base_params=params, token_id_remap=remap
         )
+    policy = args.get("batch_spec_policy", "auto")
+    if max_batch and (policy == "off"
+                      or (policy == "auto" and max_batch >= 2)):
+        # measured crossover (PERF.md r4e): continuous batching already
+        # amortizes the weight stream across slots, so per-slot tree
+        # verify loses to plain batching at B>=2 on TPU — serve plain
+        # slots and drop the drafter (--batch-spec-policy force keeps it)
+        from ..engine.batch_engine import ContinuousBatchingEngine
+
+        logger.warning(
+            "batch_spec_policy=%s: serving PLAIN continuous batching "
+            "(batched speculation measured slower than plain batching at "
+            "max_batch>=2; pass --batch-spec-policy force to keep the "
+            "batched EAGLE engine)" % policy
+        )
+        engine = ContinuousBatchingEngine(
+            cfg, eng, params, max_batch=max_batch, attn_impl=attn_impl
+        )
+        return engine, tokenizer
     if max_batch:
         # batched EAGLE-2: speculative continuous batching. The batched
         # drafter has no sliding-window path yet — force full draft

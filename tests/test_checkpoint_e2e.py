@@ -193,3 +193,32 @@ def test_checkpoint_e2e(tmp_path, with_draft):
     # load-time observability for the PERF.md budget (full-dims drill:
     # tools/checkpoint_drill.py)
     print(f"checkpoint load: {load_s:.2f}s")
+
+
+def test_batch_spec_policy_dispatch(tmp_path):
+    """--batch-spec-policy: 'auto' serves PLAIN continuous batching at
+    max_batch>=2 (measured crossover, PERF.md r4e — batching already
+    amortizes the weight stream, per-slot tree verify loses), 'force'
+    keeps the batched EAGLE engine."""
+    base = str(tmp_path / "minicpm-gptq-marlin")
+    fabricate_base(base)
+    draft = str(tmp_path / "eagle-draft")
+    fabricate_draft(draft)
+    args = {
+        "model_path": base, "chunk_length": 64, "max_total_length": 512,
+        "apply_sparse": False, "draft_model_path": draft,
+        "frspec_vocab_size": VFR, "spec_tree_size": 8,
+        "spec_topk_per_iter": 4, "spec_window_size": 0, "max_batch": 2,
+    }
+    from cpmcu_tpu.engine.batch_engine import ContinuousBatchingEngine
+    from cpmcu_tpu.engine.batch_spec_engine import BatchSpecEngine
+    from cpmcu_tpu.serve.factory import create_engine
+
+    engine, _ = create_engine(dict(args))
+    assert isinstance(engine, ContinuousBatchingEngine)
+    assert not isinstance(engine, BatchSpecEngine)
+
+    engine, _ = create_engine(dict(args, batch_spec_policy="force"))
+    assert isinstance(engine, BatchSpecEngine)
+    rid = engine.submit([1, 2, 3], max_new_tokens=4)
+    assert len(engine.run()[rid]) == 4

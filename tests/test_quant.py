@@ -313,3 +313,36 @@ def test_quant_matmul_stacked_big_m_matches_sliced():
     b = quant_matmul_pallas(x, qs2[1], ss2[1], interpret=True)
     np.testing.assert_array_equal(
         np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+
+def test_quant_matmul_stacked_big_m_dyn_layer():
+    """M>64 with a TRACED layer (the batch-spec scan-over-layers path)
+    rides scalar prefetch on the big-M kernel — bit-identical to the
+    static-layer path, incl. under lax.scan."""
+    import jax
+
+    rng = np.random.default_rng(17)
+    L, M, K, N = 3, 96, 2048, 1024
+    qs = jnp.asarray(rng.integers(0, 2**31, (L, K // 8, N)), jnp.int32)
+    ss = jnp.asarray(rng.standard_normal((L, K // 128, N)) * 0.1, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+
+    for li in range(L):
+        a = quant_matmul_pallas(x, qs, ss, layer=li, interpret=True)
+        b = quant_matmul_pallas(x, qs, ss, None, jnp.int32(li),
+                                interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+    def body(carry, li):
+        y = quant_matmul_pallas(x, qs, ss, None, li, interpret=True)
+        return carry + y.astype(jnp.float32), None
+
+    tot, _ = jax.lax.scan(body, jnp.zeros((M, N), jnp.float32),
+                          jnp.arange(L, dtype=jnp.int32))
+    ref = sum(
+        np.asarray(quant_matmul_pallas(x, qs, ss, layer=i, interpret=True),
+                   np.float32)
+        for i in range(L)
+    )
+    np.testing.assert_allclose(np.asarray(tot), ref, rtol=1e-6)
