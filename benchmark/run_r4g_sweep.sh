@@ -41,23 +41,24 @@ echo "{\"mode\": \"profile_postfix\", \"result\": \"rc=$?\"}" >> "$OUT"
 # coarse tree pairing: 2 x 512-row sub-tiles per tree-verify grid step
 # (same bytes, half the steps) vs the unpaired default
 run sparse96k_spec_real_treepair2 python bench.py --tree-pair 2
-run sparse96k_spec_real_pair1_v3 python bench.py --sparse-pair 1
-run sparse96k_spec_real_noquanthead_v3 python bench.py --no-quant-draft-head
 run sparse32k_spec_real_v3 python bench.py --prompt-len 32768
 
-# post-fix batched spec (hierarchical FR-head top-k + stacked big-M
-# quant BlockSpec landed after the r4e rows: 96 ms/round had 13.7 ms of
-# sorts + ~11 ms of pack-slice copies) — measure the recovered crossover
+# post-fix batched spec (hierarchical FR-head top-k + big-M stacked /
+# dyn-layer quant BlockSpecs landed after the r4e rows: 96 ms/round had
+# 13.7 ms of sorts + ~11 ms of pack-slice copies) — recovered crossover
 run batch8_spec_oracle_v2 python bench.py --batch 8 --spec \
     --oracle-accept --prompt-len 512
+
+# realistic 96K prefill lever A/B: gs / bt / stage1-pallas variants in
+# one process against one prefilled context (supersedes the stage1-only
+# A/B; each variant re-traces via TUNE + clear_caches)
+echo "=== prefill lever A/B ($(date +%H:%M:%S))" >&2
+CPMCU_REALISTIC=1 timeout 2400 python benchmark/exp_r4g_prefill_ab.py \
+    > benchmark/results/r4g_prefill_ab.log 2>&1
+echo "{\"mode\": \"prefill_ab\", \"result\": \"rc=$?\"}" >> "$OUT"
+
 run batch2_spec_oracle_v2 python bench.py --batch 2 --spec \
     --oracle-accept --prompt-len 512
-
-# stage-1 scorer A/B under the REALISTIC checkpoint (parked "within
-# noise" only under synthetic union saturation; realistic stage-2 is
-# smaller so stage-1's relative share is larger)
-echo "=== stage1 A/B realistic ($(date +%H:%M:%S))" >&2
-CPMCU_REALISTIC=1 timeout 2400 python benchmark/exp_stage1_ab.py \
-    > benchmark/results/r4g_stage1_ab.log 2>&1
-echo "{\"mode\": \"stage1_ab_realistic\", \"result\": \"rc=$?\"}" >> "$OUT"
+run sparse96k_spec_real_pair1_v3 python bench.py --sparse-pair 1
+run sparse96k_spec_real_noquanthead_v3 python bench.py --no-quant-draft-head
 echo "r4g sweep done ($(date +%H:%M:%S))" >&2
