@@ -88,18 +88,34 @@ def linear(p: dict, x, layer=None, norm=None):
     return y
 
 
+# decode-shaped embedding backend: "unroll" (static dynamic-slice
+# unroll, ~2us/row, reads exactly T rows) or "onehot" (one iota-compare
+# + one MXU dot — exact, 2 ops/call, but the dot STREAMS THE WHOLE
+# (V, H) table: ~600 MB for the 8B vocab, ~0.7 ms/call — only viable
+# for tiny vocabs; kept as a tested alternative, NOT the default).
+# Both replace jnp.take, whose (V, H) gather lowers to a slow per-row
+# loop (~3 ms/round in the spec engine).
+EMBED_DECODE_IMPL = "unroll"
+
+
 def embedding(embed_table, token_ids, scale_emb: float, dtype):
     ids = jnp.asarray(token_ids)
     if ids.ndim == 1 and ids.shape[0] <= 64:
-        # decode-shaped lookups: XLA lowers a gather on the (V, H) table to
-        # a slow per-row loop (profiled ~3ms/round in the spec engine); a
-        # static unroll of dynamic slices is ~2us per row
-        rows = [
-            jax.lax.dynamic_slice_in_dim(embed_table, ids[i], 1, axis=0)
-            for i in range(ids.shape[0])
-        ]
-        h = jnp.concatenate(rows, axis=0).astype(dtype) if len(rows) > 1 \
-            else rows[0].astype(dtype)
+        if EMBED_DECODE_IMPL == "onehot":
+            V = embed_table.shape[0]
+            oh = (ids[:, None] == jnp.arange(V, dtype=ids.dtype)[None, :])
+            h = jax.lax.dot_general(
+                oh.astype(embed_table.dtype), embed_table,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
+        else:
+            rows = [
+                jax.lax.dynamic_slice_in_dim(embed_table, ids[i], 1, axis=0)
+                for i in range(ids.shape[0])
+            ]
+            h = (jnp.concatenate(rows, axis=0).astype(dtype)
+                 if len(rows) > 1 else rows[0].astype(dtype))
     else:
         h = jnp.take(embed_table, ids, axis=0).astype(dtype)
     if scale_emb != 1.0:

@@ -78,3 +78,25 @@ def test_dense_matmul_layer_indexed():
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_embedding_onehot_matches_take():
+    """Decode-shaped embedding backends are EXACT row lookups: the
+    one-hot MXU dot (single 1.0 per row, f32 accumulate) and the
+    dynamic-slice unroll must both reproduce jnp.take bit-for-bit."""
+    import cpmcu_tpu.layers.modules as M
+
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(rng.standard_normal((1000, 128)), jnp.bfloat16)
+    ids = jnp.asarray([0, 999, 17, 17, 3], jnp.int32)
+    # reference: exact bf16 row lookup, then the same bf16 scale multiply
+    want = np.asarray(
+        jnp.take(table, ids, axis=0) * jnp.bfloat16(1.5), np.float32)
+    old = M.EMBED_DECODE_IMPL
+    try:
+        for impl in ("onehot", "unroll"):
+            M.EMBED_DECODE_IMPL = impl
+            got = M.embedding(table, ids, 1.5, jnp.bfloat16)
+            np.testing.assert_array_equal(np.asarray(got, np.float32), want)
+    finally:
+        M.EMBED_DECODE_IMPL = old
