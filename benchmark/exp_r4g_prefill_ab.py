@@ -35,13 +35,24 @@ from cpmcu_tpu.core.config import MINICPM4_8B, EngineConfig
 CTX = int(os.environ.get("R4G_CTX", 94208))
 CHUNK = int(os.environ.get("R4G_CHUNK", 2048))
 
+# r5 variant set: the r4g gs4/bt512/bt1024 rows each crashed the remote
+# compile helper (HTTP 500, subprocess exit 1) within ~15 s while bt256
+# variants before AND after compiled fine — the crash is specific to
+# those kernel shapes. r5 drops them for (a) one retry row to confirm
+# reproducibility, (b) milder gs2/bt384, and (c) the never-measured
+# prefill_pair lever: pair fine 128-row sub-tiles per grid step at the
+# coarse step count — at 96K the block union is ~0.3 but the 512-row
+# tile union saturates ~0.9, so fine tiles cut sparse_flash tile-DMA
+# bytes ~45% (the dominant 364 ms/chunk term, r4g_profile_postfix §A).
 VARIANTS = [
     {"name": "base_gs1_bt256", "gs": 1, "bt": 256, "stage1": "xla"},
-    {"name": "gs4_bt256", "gs": 4, "bt": 256, "stage1": "xla"},
-    {"name": "gs1_bt512", "gs": 1, "bt": 512, "stage1": "xla"},
-    {"name": "gs4_bt512", "gs": 4, "bt": 512, "stage1": "xla"},
-    {"name": "gs1_bt1024", "gs": 1, "bt": 1024, "stage1": "xla"},
-    {"name": "base_stage1_pallas", "gs": 1, "bt": 256, "stage1": "pallas"},
+    {"name": "ppair2", "gs": 1, "bt": 256, "stage1": "xla", "pp": 2},
+    {"name": "ppair4", "gs": 1, "bt": 256, "stage1": "xla", "pp": 4},
+    {"name": "gs2_bt256", "gs": 2, "bt": 256, "stage1": "xla"},
+    {"name": "gs1_bt384", "gs": 1, "bt": 384, "stage1": "xla"},
+    {"name": "bt512_retry", "gs": 1, "bt": 512, "stage1": "xla"},
+    {"name": "ppair4_stage1_pallas", "gs": 1, "bt": 256,
+     "stage1": "pallas", "pp": 4},
 ]
 
 
@@ -76,6 +87,7 @@ def main():
     for v in VARIANTS:
         sf.TUNE["prefill_gs"] = v["gs"]
         sf.TUNE["prefill_bt"] = v["bt"]
+        sf.TUNE["prefill_pair"] = v.get("pp", 1)
         SP.STAGE1_PREFILL_IMPL = v["stage1"]
         jax.clear_caches()
         try:
@@ -103,6 +115,7 @@ def main():
                   flush=True)
     sf.TUNE["prefill_gs"] = 1
     sf.TUNE["prefill_bt"] = 256
+    sf.TUNE["prefill_pair"] = 1
     SP.STAGE1_PREFILL_IMPL = "xla"
 
 

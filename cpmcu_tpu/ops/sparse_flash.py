@@ -45,7 +45,11 @@ from .sparse import BLOCK, NEG_INF
 # fine-tile visitation while the step count stays at the coarse-tile
 # count — the r4b bk=128 regression was 4x the GRID, not the tile size).
 TUNE = {"prefill_gs": 1, "prefill_bt": 256, "decode_bk": 128,
-        "decode_pair": 4, "prefill_pair": 1}
+        "decode_pair": 1, "prefill_pair": 1, "tree_pair": 2}
+# decode_pair/tree_pair defaults flipped to the measured post-fix winners
+# (r4g_sweep.jsonl, same chip-day as the 106.36 default row): decode
+# pair=1 112.43 tok/s vs pair=4 106.36; tree_pair=2 109.52. The r4d
+# "decode_pair=4" pick predated the 410d3ce/b143de4 decode fixes.
 # prefill_gs/bt measured on TPU at 94K ctx, 2048-chunk (VERDICT r2 task 5;
 # benchmark/results/r3a_gsplit_ab.log + r3b_gsplit_ab_realistic.log):
 #   saturated unions:  bt256 1250.9 ms < gs4 1310.0 < gs1-auto 1385.0
@@ -351,15 +355,17 @@ def sparse_flash_mha(
     # (the r4b bk=128 regression: 768 steps at ~0.44us/step of fixed
     # overhead — 4 sub-tiles/step restores 192 steps at half the bytes).
     if T <= 8:
-        # true decode (single token / short chains): fine tiles + pairing
-        # cut tile-DMA bytes at the coarse step count (96K decode-only
-        # 94 -> 104 tok/s, r4d)
+        # true decode (single token / short chains): post-fix r4g A/B
+        # flipped the winner to UNPAIRED bk=128 (pair1 112.43 vs pair4
+        # 106.36 tok/s full-stack; the r4d pair4 pick predated the
+        # 410d3ce decode fixes) — pairing stays available via TUNE
         pair = max(1, int(TUNE.get("decode_pair", 1)))
     elif T < 1024:
         # spec-tree verify (T = tree_size): the 12-token union covers most
         # coarse tiles, so fine tiles just add DMA descriptors — r4g traced
-        # pair4/bk128 at +37% kernel time vs bk512 unpaired (88.8 vs 64.7
-        # ms/segment); default stays unpaired BK=512 (TUNE tree_pair A/Bs)
+        # pair4/bk128 at +37% kernel time vs bk512 unpaired. COARSE pairing
+        # (tree_pair=2 x tree_bk=512 sub-tiles/step, same bytes, half the
+        # steps) measured 109.52 vs 106.36 and is the default
         pair = max(1, int(TUNE.get("tree_pair", 1)))
     else:
         pair = max(1, int(TUNE.get("prefill_pair", 1)))
