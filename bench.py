@@ -359,7 +359,19 @@ def bench_spec(cfg, eng, steps=128, prompt_len=128, spec_type="eagle2",
 
     rng = np.random.default_rng(0)
     ids = rng.integers(0, cfg.vocab_size, size=prompt_len).tolist()
-    engine.generate(ids, generation_length=8)  # warmup/compile
+    warm = 8
+    if spec_type == "hier" and oracle_accept:
+        # oracle hier accepts ~max_chain+1 tokens per outer round, so a
+        # warmup of 8 ends INSIDE the host-driven first round and the
+        # fused hier_segment program compiles inside the timed region
+        # (r4e's 2.42 tok/s "ceiling" row was ~one compile per program
+        # shape). Warm up through round 1 PLUS one full segment, and time
+        # at least two whole segments.
+        seg = max(1, getattr(eng, "spec_segment_size", 1))
+        per_round = engine.max_chain + 1
+        warm = per_round + seg * per_round + 2
+        steps = max(steps, 1 + 2 * seg * per_round)
+    engine.generate(ids, generation_length=warm)  # warmup/compile
 
     engine.reset()
     toks, decode_time, prefill_time = engine.generate(ids, generation_length=steps)

@@ -134,6 +134,15 @@ def _expand_and_verify(
         "base_cfg", "ecfg", "temperature", "top_k", "top_p", "attn_impl",
         "sparse_select", "kv_span", "unroll",
     ),
+    # pend_embed/pend_hidden trigger XLA's "donated buffers were not
+    # usable" warning at production shapes (bf16[2048,4096] x2, every
+    # round's bench tail): their replacement outputs (new_pend_embed, the
+    # base forward's normed hidden) come out of fusions whose TPU tiled
+    # layouts don't alias the inputs, so XLA copies instead. Cost bound:
+    # 2 x 16 MB extra HBM writes per ~1 s prefill chunk (~40 us, 0.004%)
+    # — measured-irrelevant. Donation stays on: it IS usable at other
+    # shapes (tiny-shape CPU repro aliases cleanly), and an unusable
+    # donation degrades to exactly the no-donation copy.
     donate_argnames=("cache", "ekv", "pend_embed", "pend_hidden"),
 )
 def spec_prefill_chunk(
