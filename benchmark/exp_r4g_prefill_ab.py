@@ -53,6 +53,12 @@ VARIANTS = [
     {"name": "bt512_retry", "gs": 1, "bt": 512, "stage1": "xla"},
     {"name": "ppair4_stage1_pallas", "gs": 1, "bt": 256,
      "stage1": "pallas", "pp": 4},
+    # bf16 stage-1 score temporaries: halves the HBM-bound exp/where/sum
+    # passes (223 ms of the 1.03 s late chunk, r4g_profile_postfix §A)
+    {"name": "stage1_bf16", "gs": 1, "bt": 256, "stage1": "xla",
+     "s1dtype": "bf16"},
+    {"name": "stage1_bf16_ppair4", "gs": 1, "bt": 256, "stage1": "xla",
+     "s1dtype": "bf16", "pp": 4},
 ]
 
 
@@ -89,6 +95,7 @@ def main():
         sf.TUNE["prefill_bt"] = v["bt"]
         sf.TUNE["prefill_pair"] = v.get("pp", 1)
         SP.STAGE1_PREFILL_IMPL = v["stage1"]
+        SP.STAGE1_P_DTYPE = v.get("s1dtype", "f32")
         jax.clear_caches()
         try:
             # un-committed forwards: same chunk, same positions each rep
@@ -117,6 +124,7 @@ def main():
     sf.TUNE["prefill_bt"] = 256
     sf.TUNE["prefill_pair"] = 1
     SP.STAGE1_PREFILL_IMPL = "xla"
+    SP.STAGE1_P_DTYPE = "f32"
 
 
 if __name__ == "__main__":

@@ -163,6 +163,19 @@ def stage1_scores(
             lse = _lse(s2, valid2)
         else:
             lse = _lse(s1, valid1)
+        if STAGE1_P_DTYPE == "bf16" and use_lse:
+            # halve the dominant prefill stage-1 cost: the (KVH,bt,G,S1)
+            # exp/where temporaries are HBM-bound f32 passes (~223 ms of a
+            # 1.03 s late 96K chunk, r4g_profile_postfix §A). Casting the
+            # einsum output to bf16 (a convert XLA fuses into the matmul
+            # write) halves the bytes of the materialized scores AND of
+            # the fused exp/where/sum consumer pass. Scores are a
+            # selection heuristic (max-pool -> top-k); bf16's ~1% exp
+            # error only flips already-marginal block picks. lse stays
+            # f32 (computed over the small c2 set).
+            s1b = (s1 - lse).astype(jnp.bfloat16)
+            pb = jnp.where(valid1, jnp.exp(s1b), jnp.bfloat16(0.0))
+            return jnp.sum(pb, axis=2, dtype=jnp.float32)
         p = jnp.where(valid1, jnp.exp(s1 - lse), 0.0)
         return jnp.sum(p, axis=2)  # sum over G (hdim16_reduce analog)
 
@@ -178,6 +191,10 @@ def stage1_scores(
 # (KVH, bt, G, S1) temporaries and is the candidate when real checkpoints
 # shrink stage-2 (benchmark/exp_stage1_ab.py re-measures).
 STAGE1_PREFILL_IMPL = "xla"
+# stage-1 score temporaries dtype: "f32" (default, bit-stable) or "bf16"
+# (halves the HBM-bound exp/where/sum passes at prefill; A/B variant
+# stage1_bf16 in benchmark/exp_r4g_prefill_ab.py). Read at trace time.
+STAGE1_P_DTYPE = "f32"
 
 
 def stage1_scores_auto(q, c1, c2, c1_len, c2_len, *, use_lse: bool = True):
