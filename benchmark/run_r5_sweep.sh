@@ -32,7 +32,11 @@ run() {
   fi
   echo "=== $name: $* ($(date +%H:%M:%S))" >&2
   local line
-  line=$(timeout 1500 "$@" 2>/dev/null | tail -1)
+  # >= 3000 s: on a FRESH container every sparse program is a cold remote
+  # compile — the r5 headline run was still compiling at 25 min and the
+  # 94K A/B context prefill alone exceeded 25 min (r4g's took 238 s on
+  # the same-day warm compile helper). 1500 s killed both r5 rows.
+  line=$(timeout 3000 "$@" 2>/dev/null | tail -1)
   if [ -n "$line" ]; then
     echo "{\"mode\": \"$name\", \"result\": $line}" >> "$OUT"
     echo "$name -> $line" >&2

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # continuous-batching engine e2e (heavy tier, VERDICT r4 task 7)
+
 import jax
 
 from cpmcu_tpu.core.config import EngineConfig, ModelConfig, RopeConfig

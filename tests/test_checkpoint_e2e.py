@@ -19,6 +19,8 @@ import time
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # fabricated-GPTQ checkpoint drill (heavy tier, VERDICT r4 task 7)
+
 from cpmcu_tpu.ops.quant import GROUP_SIZE
 
 L, H, NH, KVH, D, I, V = 16, 1024, 16, 1, 64, 2048, 1024

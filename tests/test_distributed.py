@@ -13,6 +13,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # two-process DCN init (heavy tier, VERDICT r4 task 7)
+
 
 def _free_port() -> int:
     s = socket.socket()

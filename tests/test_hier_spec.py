@@ -237,3 +237,58 @@ def test_hier_oracle_triple_all_accept():
     # after the first (host-driven) round, fused rounds accept everything
     assert engine.mean_accept_length() > 3.0, engine.accept_lengths
     assert max(engine.accept_lengths) == engine.max_chain + 1
+
+
+@pytest.mark.slow
+def test_hier_oracle_warmup_compiles_once():
+    """bench_spec's oracle-hier harness fix (VERDICT r4 task 5): warming
+    through round 1 + one full fused segment must leave ZERO compiles in
+    the timed region (the r4e 2.42 tok/s "ceiling" row timed the
+    hier_segment compile). Mirrors bench.py's warm/steps formula at
+    quant-compatible tiny dims (oracle_hier_triple always packs W4:
+    K multiple of 1024, N multiple of 128)."""
+    import logging
+
+    from cpmcu_tpu.spec.oracle import oracle_hier_triple
+
+    cfg = ModelConfig(
+        vocab_size=512, num_layers=2, hidden_size=1024,
+        intermediate_size=1024, num_heads=8, num_kv_heads=2, head_dim=128,
+        rope=RopeConfig(), dtype="float32",
+    )
+    draft_cfg = dataclasses.replace(cfg, num_layers=2)
+    ecfg = EagleConfig(
+        model=dataclasses.replace(draft_cfg, num_layers=1),
+        num_iter=2, topk_per_iter=4, tree_size=12,
+    )
+    params, dparams, eparams = oracle_hier_triple(cfg, draft_cfg, ecfg)
+    eng = EngineConfig(chunk_length=64, max_total_length=1536)
+    engine = HierSpecEngine(cfg, draft_cfg, ecfg, eng, params, dparams,
+                            eparams, min_draft_length=8, attn_impl="xla")
+    prompt = list(range(2, 50))
+    seg = eng.spec_segment_size
+    per_round = engine.max_chain + 1
+    warm = per_round + seg * per_round + 2
+    steps = 1 + 2 * seg * per_round
+    engine.generate(prompt, generation_length=warm)
+    engine.reset()
+
+    rec = []
+    handler = logging.Handler()
+    handler.emit = lambda r: rec.append(r.getMessage())
+    jax.config.update("jax_log_compiles", True)
+    loggers = [logging.getLogger("jax._src.dispatch"),
+               logging.getLogger("jax._src.interpreters.pxla"),
+               logging.getLogger("jax")]
+    for lg in loggers:
+        lg.addHandler(handler)
+    try:
+        toks, _, _ = engine.generate(prompt, generation_length=steps)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        for lg in loggers:
+            lg.removeHandler(handler)
+    compiles = [m for m in rec if "ompil" in m]
+    assert len(toks) == steps
+    assert engine.mean_accept_length() > per_round - 2  # oracle accepts
+    assert not compiles, compiles[:3]

@@ -9,6 +9,8 @@ import urllib.request
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # serve HTTP/SSE e2e over real engines (heavy tier, VERDICT r4 task 7)
+
 import jax
 
 from cpmcu_tpu.serve.args import make_cli_parser, make_server_parser

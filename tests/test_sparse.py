@@ -295,6 +295,7 @@ def _sparse_cfg(**kw):
     return ModelConfig(**base)
 
 
+@pytest.mark.slow
 def test_sparse_forward_full_topk_matches_dense():
     """With top-k covering every block and history shorter than the local
     window, sparse visibility == dense causal -> logits must match."""
@@ -333,6 +334,7 @@ def test_sparse_forward_full_topk_matches_dense():
     np.testing.assert_allclose(np.asarray(ld), np.asarray(ls), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sparse_engine_generates():
     from cpmcu_tpu.engine.engine import Engine
     from cpmcu_tpu.models import llama
@@ -351,6 +353,7 @@ def test_sparse_engine_generates():
     assert int(engine.cache.length) >= 200 + 11
 
 
+@pytest.mark.slow
 def test_sparse_slots_kernel_matches_xla_fallback():
     """Batched-slot sparse decode kernel (sparse_flash_mha_slots, interpret
     mode) must equal the per-slot XLA materialized-mask fallback — output
@@ -393,6 +396,7 @@ def test_sparse_slots_kernel_matches_xla_fallback():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sparse_slots_kernel_multitoken_matches_xla():
     """T>1 queries per slot (batched sparse chain rounds): kernel parity
     with the per-slot XLA fallback, per-token selections and positions."""
@@ -465,6 +469,7 @@ def test_oracle_union_collapses_visit_union():
     assert collapsed <= saturated / 2, (collapsed, saturated)
 
 
+@pytest.mark.slow
 def test_sparse_oracle_union_engine_generates():
     """--oracle-union bracket (core.config sparse_oracle_union): one
     stage-1 selection per forward. Generation must still run end-to-end,
@@ -500,6 +505,7 @@ def test_sparse_oracle_union_engine_generates():
     assert outs[0] == outs[1]
 
 
+@pytest.mark.slow
 def test_sparse_spec_engine_generates():
     import dataclasses
 
@@ -523,6 +529,7 @@ def test_sparse_spec_engine_generates():
     assert engine.mean_accept_length() >= 1.0
 
 
+@pytest.mark.slow
 def test_sparse_spec_matches_plain_decode():
     """First tokens of greedy sparse spec == greedy sparse non-spec.
 
