@@ -89,9 +89,23 @@ def apply_rope(q, k, cos, sin, positions=None):
     if positions is not None:
         cos = cos[positions]
         sin = sin[positions]
-    c = cos[:, None, :]  # (T, 1, D)
-    s = sin[:, None, :]
-    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
-    q_out = qf * c + rotate_half(qf) * s
-    k_out = kf * c + rotate_half(kf) * s
-    return q_out.astype(q.dtype), k_out.astype(k.dtype)
+    # elementwise on half-slices with ONE trailing concat per tensor:
+    # the old `qf * c + rotate_half(qf) * s` materialized the
+    # rotate_half concat BEFORE the multiply-add (XLA lowers concatenate
+    # to copies that break fusion — 962 copy ops / 50 ms per 96K prefill
+    # chunk at layers/rotary.py, r4g_profile_postfix §A). Per output
+    # element the operations and their order are IDENTICAL (cos/sin
+    # tables duplicate their halves: emb = [freqs, freqs]), so this is
+    # bit-exact vs the concat-first form.
+    half = q.shape[-1] // 2
+    c = cos[:, None, :half]  # (T, 1, D/2); cos[..., half:] is identical
+    s = sin[:, None, :half]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        x1, x2 = xf[..., :half], xf[..., half:]
+        return jnp.concatenate(
+            [x1 * c + (-x2) * s, x2 * c + x1 * s], axis=-1
+        ).astype(x.dtype)
+
+    return rot(q), rot(k)
